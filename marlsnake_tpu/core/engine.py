@@ -1,0 +1,424 @@
+"""The TPU-native MARL-Snake engine: pure functional reset/step kernels.
+
+This is a ground-up re-design of the reference game engine
+(``/root/reference/marlenv/marlenv/envs/snake_env.py:131-632``) as fixed-shape
+masked array programs: one fused ``step(state, actions) -> (state', out)``
+that jits end-to-end and vmaps over thousands of env instances.
+
+Semantics parity notes (cross-checked against the reference, cited per phase):
+
+* Phase 1 — direction update & proposed heads (snake_env.py:318-330): dead
+  snakes keep their heading and never move.
+* Phase 2 — collision vs the PRE-move grid (snake_env.py:521-544):
+  - >=2 heads on one cell: all die, no kill credit; a fruit there still
+    counts toward respawn (``fruit_taken``).
+  - target WALL/BODY/HEAD: mover dies; the owner of the hit cell gets
+    ``kills += 1`` once per distinct target cell — including itself on a
+    self-collision (snake_env.py:537-538).
+  - single head on FRUIT: eat.
+* Phase 3 — tail-chase rule (snake_env.py:338-346): if an eater's old tail
+  cell is some snake's target, every such chaser dies and the eater gets one
+  kill per chaser. The reference decrements its alive counter here WITHOUT
+  checking whether the chaser already died in phase 2 (double-decrement
+  quirk); we reproduce that arithmetic in ``alive_count`` because the win
+  flag reads it.
+* Phase 4 — win flag (snake_env.py:347-352): re-derived every step from
+  ``alive_count == 1``.
+* Phase 5 — rewards (snake_env.py:358-374): snakes already dead before the
+  step get exactly 0; no time reward on the dying step.
+* Phase 6 — grid update: the reference mutates sequentially in snake-index
+  order (snake_env.py:546-566); the outcome is order-independent (each cell
+  has exactly one final writer), which lets us use masked parallel writes in
+  a fixed order: erase dead bodies -> old heads to BODY -> retracting tails
+  to EMPTY -> new heads -> new tails.
+* Phase 7 — fruit respawn (snake_env.py:376-379 + grid_util.py:126-133):
+  ``fruit_taken`` uniform draws over the empty cells WITH replacement
+  (duplicate draws collapse into one fruit, like the reference).
+* Phase 8 — obs/stats/timeout/rank (snake_env.py:381-414): the dying step's
+  reward/steps are excluded from episodic stats; ranks are competition-style
+  ("1224"); stats reset when the episode-done predicate fires.
+
+RNG: ``jax.random`` keys replace the reference's global ``np.random``; the
+host oracle (``marlsnake_tpu.oracle``) mirrors this exact key schedule so
+engine and oracle trajectories are bit-identical.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from marlsnake_tpu.core import types as T
+from marlsnake_tpu.core.state import (
+    EnvState, ring_push, ring_pop_tail)
+
+_DIR_DELTA = jnp.asarray(T.DIR_DELTA)
+_TURN_SNAKE = jnp.asarray(T.TURN_SNAKE)
+_TURN_HUMAN = jnp.asarray(T.TURN_HUMAN)
+
+
+@struct.dataclass
+class StepOutput:
+    obs: jnp.ndarray      # (N, Ho, Wo, 8*frame_stack) uint8
+    reward: jnp.ndarray   # (N,) float32
+    done: jnp.ndarray     # (N,) bool
+    # info — fixed-shape; *_stats fields are meaningful when done_all is True
+    # (reference puts them in `info` only at episode end, snake_env.py:396-410)
+    rank: jnp.ndarray            # (N,) int32
+    episode_scores: jnp.ndarray  # (N,) float32
+    episode_steps: jnp.ndarray   # (N,) float32
+    episode_fruits: jnp.ndarray  # (N,) float32
+    episode_kills: jnp.ndarray   # (N,) float32
+    done_all: jnp.ndarray        # () bool — the episode-done predicate
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def delta_to_dir(delta: jnp.ndarray) -> jnp.ndarray:
+    """Map (..., 2) coordinate deltas to direction indices."""
+    eq = (delta[..., None, :] == _DIR_DELTA).all(-1)
+    return jnp.argmax(eq, axis=-1).astype(jnp.int32)
+
+
+def place_fruits(grid: jnp.ndarray, u: jnp.ndarray,
+                 count: jnp.ndarray) -> jnp.ndarray:
+    """Place up to ``count`` fruits from uniform draws ``u``.
+
+    Rejection-free equivalent of the reference's
+    ``random_empty_coords`` + assignment (grid_util.py:126-133,
+    snake_env.py:376-379): empty cells are enumerated once in row-major
+    order; each draw independently selects one WITH replacement.
+    """
+    h, w = grid.shape
+    flat = grid.reshape(-1)
+    mask = flat == T.EMPTY
+    num_empty = mask.sum()
+    cum = jnp.cumsum(mask.astype(jnp.int32))
+    r = jnp.floor(u * num_empty).astype(jnp.int32)
+    r = jnp.clip(r, 0, jnp.maximum(num_empty - 1, 0))
+    cells = jnp.argmax(cum[None, :] > r[:, None], axis=1)
+    valid = (jnp.arange(u.shape[0]) < count) & (num_empty > 0)
+    cells = jnp.where(valid, cells, h * w)  # OOB -> dropped
+    flat = flat.at[cells].set(T.FRUIT, mode='drop')
+    return flat.reshape(h, w)
+
+
+def encode_frame(cfg: T.EnvConfig, grid: jnp.ndarray, head: jnp.ndarray,
+                 alive: jnp.ndarray) -> jnp.ndarray:
+    """8-channel per-snake observation of one grid (N, Ho, Wo, 8) uint8.
+
+    Vectorized replacement of the reference's per-cell Python loop
+    (snake_env.py:474-519). Channel order: wall, fruit, other-head,
+    other-body, other-tail, my-head, my-body, my-tail.
+    """
+    n = cfg.num_snakes
+    t = grid % 10
+    owner = grid // 10
+    wall = (t == T.WALL)
+    fruit = (t == T.FRUIT)
+    is_head = t == T.HEAD
+    is_body = t == T.BODY
+    is_tail = t == T.TAIL
+    ids = jnp.arange(n).reshape(n, 1, 1)
+    mine = owner == ids  # (N, H, W)
+    bc = jnp.broadcast_to
+    shape = (n,) + grid.shape
+    frame = jnp.stack([
+        bc(wall, shape), bc(fruit, shape),
+        bc(is_head, shape) & ~mine, bc(is_body, shape) & ~mine,
+        bc(is_tail, shape) & ~mine,
+        bc(is_head, shape) & mine, bc(is_body, shape) & mine,
+        bc(is_tail, shape) & mine,
+    ], axis=-1).astype(jnp.uint8)
+
+    if cfg.vision_range:
+        v = cfg.vision_range
+        padded = jnp.pad(frame, ((0, 0), (v, v), (v, v), (0, 0)))
+        # Dead snakes have an all-zero my-head channel; the reference's
+        # argmax then anchors the crop at (0, 0) (snake_env.py:497-517).
+        center = jnp.where(alive[:, None], head, 0)
+
+        def crop_one(p, c):
+            return jax.lax.dynamic_slice(
+                p, (c[0], c[1], 0), (2 * v + 1, 2 * v + 1, T.FEATURE_CHANNEL))
+
+        frame = jax.vmap(crop_one)(padded, center)
+    return frame
+
+
+def stack_to_obs(obs_stack: jnp.ndarray) -> jnp.ndarray:
+    """(frame_stack, N, Ho, Wo, 8) -> (N, Ho, Wo, 8*frame_stack).
+
+    Frames are channel-concatenated oldest-first, matching the reference's
+    deque order (snake_env.py:444-459).
+    """
+    fs, n, h, w, c = obs_stack.shape
+    return jnp.moveaxis(obs_stack, 0, 3).reshape(n, h, w, fs * c)
+
+
+def make_empty_grid(cfg: T.EnvConfig) -> jnp.ndarray:
+    """Bordered empty grid (reference grid_util.py:14-20)."""
+    grid = jnp.full((cfg.height, cfg.width), T.EMPTY, dtype=jnp.int32)
+    grid = grid.at[jnp.array([0, cfg.height - 1]), :].set(T.WALL)
+    grid = grid.at[:, jnp.array([0, cfg.width - 1])].set(T.WALL)
+    return grid
+
+
+# ---------------------------------------------------------------------------
+# reset
+# ---------------------------------------------------------------------------
+
+def reset(cfg: T.EnvConfig, candidates: jnp.ndarray,
+          key: jnp.ndarray) -> Tuple[EnvState, jnp.ndarray]:
+    """Pure reset: sample disjoint spawn paths, place fruits, encode obs.
+
+    Replaces the reference's per-reset DFS + rejection loop
+    (snake_env.py:131-159,576-589) with device-side sampling from the
+    pre-enumerated candidate table. The candidate-pick distribution is
+    iid-uniform with a retry on any overlap/duplicate, which conditions to
+    the same law as the reference's permutation + rejection.
+
+    Key schedule (mirrored by the oracle): fold_in(key, 0) -> spawn
+    attempts (fold_in again by attempt index), fold_in(key, 1) -> fruits,
+    fold_in(key, 2) -> stored per-step key.
+    """
+    n = cfg.num_snakes
+    k = cfg.snake_length
+    h, w = cfg.height, cfg.width
+    num_cand = candidates.shape[0]
+    k_spawn = jax.random.fold_in(key, 0)
+    k_fruit = jax.random.fold_in(key, 1)
+    k_state = jax.random.fold_in(key, 2)
+
+    def attempt(i):
+        u = jax.random.uniform(jax.random.fold_in(k_spawn, i), (n,))
+        idx = jnp.minimum((u * num_cand).astype(jnp.int32), num_cand - 1)
+        coords = candidates[idx]  # (N, k, 2)
+        eq = (coords[:, None, :, None, :]
+              == coords[None, :, None, :, :]).all(-1).any((-1, -2))
+        overlap = (eq & ~jnp.eye(n, dtype=bool)).any()
+        return idx, ~overlap
+
+    idx0, ok0 = attempt(jnp.int32(0))
+    _, idx, _ = jax.lax.while_loop(
+        lambda c: ~c[2],
+        lambda c: (c[0] + 1,) + attempt(c[0] + 1),
+        (jnp.int32(0), idx0, ok0))
+
+    coords = candidates[idx]  # (N, k, 2) head-first
+    grid = make_empty_grid(cfg)
+    flat = grid.reshape(-1)
+    cell_flat = coords[..., 0] * w + coords[..., 1]  # (N, k)
+    snake_ids = jnp.arange(n, dtype=jnp.int32) * 10
+    # Paint body, then head, then tail (reference snake_env.py:138-144).
+    flat = flat.at[cell_flat.reshape(-1)].set(
+        jnp.repeat(T.BODY + snake_ids, k))
+    flat = flat.at[cell_flat[:, 0]].set(T.HEAD + snake_ids)
+    flat = flat.at[cell_flat[:, -1]].set(T.TAIL + snake_ids)
+    grid = flat.reshape(h, w)
+
+    nf = cfg.resolved_num_fruits
+    if nf > 0:
+        u = jax.random.uniform(k_fruit, (nf,))
+        grid = place_fruits(grid, u, jnp.int32(nf))
+
+    # Direction ring: link j points from coords[j+1] to coords[j]
+    # (reference Snake.__init__, core/snake.py:62-71). Newest first.
+    link_deltas = coords[:, :-1] - coords[:, 1:]  # (N, k-1, 2)
+    dirs = delta_to_dir(link_deltas)  # (N, k-1)
+    ring = jnp.zeros((n, cfg.body_capacity), dtype=jnp.int32)
+    ring = ring.at[:, :k - 1].set(dirs)
+
+    head = coords[:, 0].astype(jnp.int32)
+    tail = coords[:, -1].astype(jnp.int32)
+    alive = jnp.ones((n,), dtype=bool)
+
+    frame = encode_frame(cfg, grid, head, alive)
+    obs_stack = jnp.broadcast_to(
+        frame[None], (cfg.frame_stack,) + frame.shape)
+
+    zeros_f = jnp.zeros((n,), dtype=jnp.float32)
+    state = EnvState(
+        grid=grid,
+        direction=dirs[:, 0],
+        head=head, tail=tail,
+        ring=ring,
+        ring_head=jnp.zeros((n,), dtype=jnp.int32),
+        ring_len=jnp.full((n,), k - 1, dtype=jnp.int32),
+        alive=alive,
+        alive_count=jnp.int32(n),
+        epi_scores=zeros_f, epi_steps=zeros_f,
+        epi_fruits=zeros_f, epi_kills=zeros_f,
+        episode_length=jnp.int32(0),
+        obs_stack=obs_stack,
+        key=k_state,
+    )
+    return state, stack_to_obs(obs_stack)
+
+
+# ---------------------------------------------------------------------------
+# step
+# ---------------------------------------------------------------------------
+
+def step(cfg: T.EnvConfig, state: EnvState,
+         actions: jnp.ndarray) -> Tuple[EnvState, StepOutput]:
+    """One simultaneous-move step for all snakes (single env; vmap outside)."""
+    n = cfg.num_snakes
+    h, w = cfg.height, cfg.width
+    hw = h * w
+    r_fruit, r_kill, r_lose, r_win, r_time = cfg.rewards
+    grid = state.grid
+    alive0 = state.alive
+    idx_n = jnp.arange(n)
+
+    # --- Phase 1: direction update + proposed heads ---
+    actions = jnp.clip(actions.astype(jnp.int32), 0, 4)
+    table = _TURN_HUMAN if cfg.observer == 'human' else _TURN_SNAKE
+    new_dir = jnp.where(alive0, table[state.direction, actions],
+                        state.direction)
+    tgt = state.head + _DIR_DELTA[new_dir]  # (N, 2); interior-safe
+
+    # --- Phase 2: collision vs pre-move grid ---
+    tgt_cell = grid[tgt[:, 0], tgt[:, 1]]
+    tgt_type = tgt_cell % 10
+    tgt_owner = jnp.clip(tgt_cell // 10, 0, n - 1)
+    same_tgt = ((tgt[:, None, 0] == tgt[None, :, 0])
+                & (tgt[:, None, 1] == tgt[None, :, 1])
+                & alive0[:, None] & alive0[None, :])
+    count = same_tgt.sum(1)
+    multi = count >= 2
+    deadly = ((tgt_type == T.WALL) | (tgt_type == T.BODY)
+              | (tgt_type == T.HEAD))
+    dies_collision = alive0 & (multi | deadly)
+    # "primary" = lowest-index alive proposer of a target cell; mirrors the
+    # reference's once-per-distinct-coord accounting (snake_env.py:526-541).
+    shared_lower = (same_tgt & (idx_n[None, :] < idx_n[:, None])).any(1)
+    primary = alive0 & ~shared_lower
+    hit_snake = (tgt_type == T.BODY) | (tgt_type == T.HEAD)
+    kill_credit = primary & hit_snake
+    kills_delta = jnp.zeros((n,), jnp.float32).at[tgt_owner].add(
+        kill_credit.astype(jnp.float32))
+    fruit_dead = primary & multi & (tgt_type == T.FRUIT)
+    eats = alive0 & ~multi & ~deadly & (tgt_type == T.FRUIT)
+    fruit_taken = (fruit_dead.sum() + eats.sum()).astype(jnp.int32)
+
+    # --- Phase 3: tail-chase on an eater's old tail ---
+    tail_eq = ((tgt[None, :, 0] == state.tail[:, None, 0])
+               & (tgt[None, :, 1] == state.tail[:, None, 1]))
+    chase = eats[:, None] & alive0[None, :] & tail_eq  # (eater f, chaser j)
+    dies_chase = chase.any(0)
+    kills_delta = kills_delta + chase.sum(1).astype(jnp.float32)
+    # Reference decrements per chaser WITHOUT dedup against phase-2 deaths
+    # (snake_env.py:334-346) — replicated on purpose.
+    alive_count = (state.alive_count
+                   - dies_collision.sum().astype(jnp.int32)
+                   - chase.sum().astype(jnp.int32))
+    dead_now = dies_collision | dies_chase
+    alive1 = alive0 & ~dead_now
+
+    # --- Phase 4: win flag ---
+    win = (alive_count == 1) & (n > 1) & alive1
+
+    # --- Phase 5: rewards ---
+    was_dead = ~alive0
+    rew = (r_time * alive1.astype(jnp.float32)
+           + r_fruit * eats.astype(jnp.float32)
+           + r_lose * dead_now.astype(jnp.float32)
+           + r_kill * kills_delta
+           + r_win * win.astype(jnp.float32))
+    rew = jnp.where(was_dead, 0.0, rew)
+    fruits_stat = jnp.where(was_dead, 0.0, eats.astype(jnp.float32))
+    kills_stat = jnp.where(was_dead, 0.0, kills_delta)
+
+    # --- Phase 6: grid update (masked writes in an order-equivalent order) --
+    t_pre = grid % 10
+    owner_pre = jnp.clip(grid // 10, 0, n - 1)
+    erase = (t_pre >= T.HEAD) & dead_now[owner_pre]
+    flat = jnp.where(erase, T.EMPTY, grid).reshape(-1)
+
+    head_flat = state.head[:, 0] * w + state.head[:, 1]
+    tail_flat = state.tail[:, 0] * w + state.tail[:, 1]
+    snake_ids = idx_n.astype(jnp.int32) * 10
+    # old head -> BODY for survivors
+    flat = flat.at[jnp.where(alive1, head_flat, hw)].set(
+        T.BODY + snake_ids, mode='drop')
+    # retracting tails -> EMPTY
+    retract = alive1 & ~eats
+    flat = flat.at[jnp.where(retract, tail_flat, hw)].set(
+        T.EMPTY, mode='drop')
+
+    # body ring: push new head link, pop tail link when retracting
+    ring, ring_head, ring_len = ring_push(
+        state.ring, state.ring_head, state.ring_len, new_dir, alive1)
+    popped, ring_len = ring_pop_tail(ring, ring_head, ring_len, retract)
+    new_tail = jnp.where(retract[:, None],
+                         state.tail + _DIR_DELTA[popped], state.tail)
+    new_head = jnp.where(alive1[:, None], tgt, state.head)
+
+    nh_flat = new_head[:, 0] * w + new_head[:, 1]
+    nt_flat = new_tail[:, 0] * w + new_tail[:, 1]
+    flat = flat.at[jnp.where(alive1, nh_flat, hw)].set(
+        T.HEAD + snake_ids, mode='drop')
+    flat = flat.at[jnp.where(alive1, nt_flat, hw)].set(
+        T.TAIL + snake_ids, mode='drop')
+    grid = flat.reshape(h, w)
+
+    # --- Phase 7: fruit respawn ---
+    key, k_fruit = jax.random.split(state.key)
+    u = jax.random.uniform(k_fruit, (n,))
+    grid = place_fruits(grid, u, fruit_taken)
+
+    # --- Phase 8: obs ---
+    frame = encode_frame(cfg, grid, new_head, alive1)
+    obs_stack = jnp.concatenate([state.obs_stack[1:], frame[None]], axis=0)
+    obs = stack_to_obs(obs_stack)
+
+    # --- Phase 9: stats / timeout / done / rank ---
+    dones_pre = ~alive1
+    mask = 1.0 - dones_pre.astype(jnp.float32)
+    epi_scores = state.epi_scores + mask * rew
+    epi_steps = state.epi_steps + mask
+    epi_fruits = state.epi_fruits + mask * fruits_stat
+    epi_kills = state.epi_kills + mask * kills_stat
+
+    episode_length = state.episode_length + 1
+    timeout = episode_length >= cfg.max_episode_steps
+    dones = dones_pre | timeout
+    if cfg.done_mode == 'any':
+        done_all = dones.any()
+        dones_out = jnp.broadcast_to(done_all, dones.shape) | dones
+    else:
+        done_all = dones.all()
+        dones_out = dones
+
+    # competition ("1224") ranking over accumulated scores
+    # (snake_env.py:396-404)
+    rank = 1 + (epi_scores[None, :] > epi_scores[:, None]).sum(1)
+
+    out = StepOutput(
+        obs=obs, reward=rew, done=dones_out,
+        rank=rank.astype(jnp.int32),
+        episode_scores=epi_scores, episode_steps=epi_steps,
+        episode_fruits=epi_fruits, episode_kills=epi_kills,
+        done_all=done_all,
+    )
+
+    zero = jnp.zeros_like(epi_scores)
+    new_state = state.replace(
+        grid=grid, direction=new_dir, head=new_head, tail=new_tail,
+        ring=ring, ring_head=ring_head, ring_len=ring_len,
+        alive=alive1, alive_count=alive_count,
+        epi_scores=jnp.where(done_all, zero, epi_scores),
+        epi_steps=jnp.where(done_all, zero, epi_steps),
+        epi_fruits=jnp.where(done_all, zero, epi_fruits),
+        epi_kills=jnp.where(done_all, zero, epi_kills),
+        episode_length=episode_length,
+        obs_stack=obs_stack,
+        key=key,
+    )
+    return new_state, out

@@ -1,0 +1,128 @@
+"""Spawn-candidate enumeration.
+
+The reference enumerates *every* k-cell self-avoiding path from every empty
+cell on every ``reset()`` (``core/grid_util.py:73-99`` via
+``envs/snake_env.py:576-589``) — measured at ~82 ms for a 20x20 grid. For the
+TPU engine the candidate set depends only on (height, width, snake_length)
+because the freshly-built grid is always an empty field with a 1-cell border
+wall (``core/grid_util.py:14-20``). We therefore enumerate ONCE on the host,
+cache the result, and let ``reset`` sample disjoint candidates on-device.
+
+Enumeration order and pruning replicate the reference exactly (same
+row-major outer sweep, same SHIFTS order [(0,1),(1,0),(0,-1),(-1,0)], same
+``_head_blocked`` prune at ``core/grid_util.py:102-110``) so that a
+reference-RNG parity harness can index the same candidate list.
+
+A C++ fast path (``native/spawn_enum.cpp``) is used when the shared library
+has been built; the pure-Python fallback is always available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+
+import numpy as np
+
+# Same neighbor order as reference core/grid_util.py:7-11
+# (names there are misleading; only the order matters).
+SHIFTS = ((0, 1), (1, 0), (0, -1), (-1, 0))
+
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+
+
+def _load_native():
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE_LIB
+    _NATIVE_TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.join(here, 'native', 'libspawn_enum.so')
+    if os.path.exists(path):
+        try:
+            lib = ctypes.CDLL(path)
+            lib.enumerate_paths.restype = ctypes.c_longlong
+            lib.enumerate_paths.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.c_longlong,
+            ]
+            _NATIVE_LIB = lib
+        except OSError:
+            _NATIVE_LIB = None
+    return _NATIVE_LIB
+
+
+def _head_blocked(mask: np.ndarray, history, extra_node) -> bool:
+    """Replicates reference core/grid_util.py:102-110."""
+    check = 0
+    first = history[0]
+    for sr, sc in SHIFTS:
+        node = (first[0] + sr, first[1] + sc)
+        if (mask[node] == 0 or node in history or node == extra_node):
+            check += 1
+    return check == len(SHIFTS)
+
+
+def _dfs(mask: np.ndarray, node, history, k, out):
+    history = history + [node]
+    if len(history) == k:
+        out.append(history)
+        return
+    for sr, sc in SHIFTS:
+        cand = (node[0] + sr, node[1] + sc)
+        if (0 <= cand[0] < mask.shape[0] and 0 <= cand[1] < mask.shape[1]
+                and cand not in history and mask[cand]):
+            if not _head_blocked(mask, history, cand):
+                _dfs(mask, cand, history, k, out)
+
+
+def enumerate_spawn_paths_py(height: int, width: int, k: int) -> np.ndarray:
+    """All k-cell self-avoiding spawn paths on an empty bordered grid.
+
+    Returns (C, k, 2) int32, head first — same path order as the reference's
+    ``dfs_sweep_empty`` on a fresh grid.
+    """
+    mask = np.ones((height, width), dtype=np.uint8)
+    mask[[0, -1]] = 0
+    mask[:, [0, -1]] = 0
+    out = []
+    for r in range(height):
+        for c in range(width):
+            if mask[r, c]:
+                _dfs(mask, (r, c), [], k, out)
+    if not out:
+        return np.zeros((0, k, 2), dtype=np.int32)
+    return np.asarray(out, dtype=np.int32)
+
+
+def enumerate_spawn_paths_native(height: int, width: int,
+                                 k: int) -> np.ndarray:
+    lib = _load_native()
+    if lib is None:
+        raise RuntimeError('native spawn enumerator not built')
+    # First call with null buffer to count, then fill.
+    n = lib.enumerate_paths(height, width, k,
+                            ctypes.cast(None, ctypes.POINTER(ctypes.c_int)),
+                            0)
+    if n < 0:
+        raise RuntimeError('native spawn enumeration failed')
+    buf = np.zeros((int(n), k, 2), dtype=np.int32)
+    n2 = lib.enumerate_paths(
+        height, width, k,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), int(n))
+    assert n2 == n, (n2, n)
+    return buf
+
+
+@functools.lru_cache(maxsize=32)
+def spawn_candidates(height: int, width: int, k: int) -> np.ndarray:
+    """Cached (C, k, 2) int32 candidate paths for an empty bordered grid."""
+    if _load_native() is not None:
+        try:
+            return enumerate_spawn_paths_native(height, width, k)
+        except RuntimeError:
+            pass
+    return enumerate_spawn_paths_py(height, width, k)

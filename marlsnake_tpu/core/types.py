@@ -1,0 +1,188 @@
+"""Core constants and configuration for the TPU-native MARL-Snake engine.
+
+Semantics contract: this module mirrors the cell/direction model of the
+reference implementation (``/root/reference/marlenv/marlenv/core/snake.py:5-49``)
+but re-encodes it for fixed-shape, compiler-friendly array programs:
+
+* Cells are small ints; a grid cell stores ``cell_type + 10 * snake_idx``
+  (reference: ``envs/snake_env.py:140-144`` writes, ``:527,538`` decode).
+* Directions are indices into a delta table instead of an Enum with
+  ``__radd__`` magic (reference: ``core/snake.py:33-49``); the relative-turn
+  algebra (atan2 rotation at ``envs/snake_env.py:598-608``) collapses to
+  ``(dir ± 1) % 4`` with the table ordered UP, RIGHT, DOWN, LEFT.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+# --- Cell model (reference core/snake.py:5-11) ---
+EMPTY = 0
+WALL = 1
+FRUIT = 2
+HEAD = 3
+BODY = 4
+TAIL = 5
+
+# Number of feature channels in the observation encoding
+# (reference envs/constants.py:1-2).
+FEATURE_CHANNEL = 8
+RGB_CHANNEL = 3
+
+# Observation channel indices (reference envs/snake_env.py:478-492; consumer
+# channel names at train_dqn.py:393-400).
+CH_WALL = 0
+CH_FRUIT = 1
+CH_OTHER_HEAD = 2
+CH_OTHER_BODY = 3
+CH_OTHER_TAIL = 4
+CH_MY_HEAD = 5
+CH_MY_BODY = 6
+CH_MY_TAIL = 7
+
+# --- Direction model ---
+# Index order chosen so that a relative left turn is ``(d - 1) % 4`` and a
+# right turn is ``(d + 1) % 4`` — equivalent to the reference's
+# cos/sin rotation (envs/snake_env.py:598-608).
+UP, RIGHT, DOWN, LEFT = 0, 1, 2, 3
+DIR_DELTA = np.array([(-1, 0), (0, 1), (1, 0), (0, -1)], dtype=np.int32)
+
+# Relative action table for observer='snake' (actions 0=noop, 1=left,
+# 2=right). Rows: current direction, cols: action. Actions 3/4 are not legal
+# in the reference (KeyError at envs/snake_env.py:606); we map them to noop.
+TURN_SNAKE = np.zeros((4, 5), dtype=np.int32)
+for _d in range(4):
+    TURN_SNAKE[_d, 0] = _d
+    TURN_SNAKE[_d, 1] = (_d - 1) % 4
+    TURN_SNAKE[_d, 2] = (_d + 1) % 4
+    TURN_SNAKE[_d, 3] = _d
+    TURN_SNAKE[_d, 4] = _d
+
+# Absolute action table for observer='human' (actions 0=noop, 1=left,
+# 2=right, 3=down, 4=up); only axis-switching moves are honoured
+# (reference envs/snake_env.py:610-632).
+TURN_HUMAN = np.zeros((4, 5), dtype=np.int32)
+for _d in range(4):
+    for _a in range(5):
+        _nd = _d
+        _dr, _dc = DIR_DELTA[_d]
+        if _dr == 0:  # moving horizontally: may switch to vertical
+            if _a == 3:
+                _nd = DOWN
+            elif _a == 4:
+                _nd = UP
+        elif _dc == 0:  # moving vertically: may switch to horizontal
+            if _a == 1:
+                _nd = LEFT
+            elif _a == 2:
+                _nd = RIGHT
+        TURN_HUMAN[_d, _a] = _nd
+
+# Default rewards (reference envs/snake_env.py:46-52).
+DEFAULT_REWARDS = {
+    'fruit': 10.0,
+    'kill': 0.0,
+    'lose': -0.5,
+    'win': 0.0,
+    'time': -0.001,
+}
+REWARD_KEYS = ('fruit', 'kill', 'lose', 'win', 'time')
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Static environment configuration.
+
+    Field names and defaults match the reference ``SnakeEnv.__init__``
+    signature (envs/snake_env.py:58-94) so that reference configs port 1:1.
+    The config is hashable so it can be closed over by jitted functions.
+    """
+
+    height: int = 20
+    width: int = 20
+    num_snakes: int = 4
+    snake_length: int = 3
+    vision_range: Optional[int] = None
+    frame_stack: int = 1
+    observer: str = 'snake'
+    # (fruit, kill, lose, win, time) — stored as a tuple for hashability.
+    rewards: Tuple[float, float, float, float, float] = (
+        DEFAULT_REWARDS['fruit'], DEFAULT_REWARDS['kill'],
+        DEFAULT_REWARDS['lose'], DEFAULT_REWARDS['win'],
+        DEFAULT_REWARDS['time'],
+    )
+    num_fruits: int = -1  # -1 → round(0.8 * num_snakes), reference :87-88
+    max_episode_steps: int = 10_000
+    # 'all' = SnakeEnv (episode ends when all snakes are done);
+    # 'any' = CoopSnakeEnv (episode ends when any snake dies, done broadcast;
+    #         reference envs/coop_snake_env.py:14-22).
+    done_mode: str = 'all'
+
+    def __post_init__(self):
+        if self.observer not in ('snake', 'human'):
+            raise ValueError(f'unknown observer {self.observer!r}')
+        if self.done_mode not in ('all', 'any'):
+            raise ValueError(f'unknown done_mode {self.done_mode!r}')
+        if self.snake_length < 2:
+            raise ValueError('snake_length must be >= 2')
+        if len(self.rewards) != 5:
+            raise ValueError('rewards must be a 5-tuple '
+                             '(fruit, kill, lose, win, time)')
+
+    @staticmethod
+    def from_reward_dict(reward_dict=None, **kwargs) -> 'EnvConfig':
+        """Build a config from a reference-style ``reward_dict``.
+
+        Enforces the exact-key validation of the reference
+        (envs/snake_env.py:76-80): the dict keys must equal
+        ``{'fruit','kill','lose','win','time'}``.
+        """
+        if reward_dict is None:
+            reward_dict = DEFAULT_REWARDS
+        if set(reward_dict.keys()) != set(REWARD_KEYS):
+            raise KeyError(
+                f'reward dict keys must correspond to {REWARD_KEYS}')
+        rewards = tuple(float(reward_dict[k]) for k in REWARD_KEYS)
+        return EnvConfig(rewards=rewards, **kwargs)
+
+    # --- derived properties ---
+    @property
+    def resolved_num_fruits(self) -> int:
+        if self.num_fruits >= 0:
+            return self.num_fruits
+        return int(round(self.num_snakes * 0.8))
+
+    @property
+    def num_actions(self) -> int:
+        return 5 if self.observer == 'human' else 3
+
+    @property
+    def obs_height(self) -> int:
+        return (2 * self.vision_range + 1) if self.vision_range \
+            else self.height
+
+    @property
+    def obs_width(self) -> int:
+        return (2 * self.vision_range + 1) if self.vision_range \
+            else self.width
+
+    @property
+    def obs_channels(self) -> int:
+        return FEATURE_CHANNEL * self.frame_stack
+
+    @property
+    def obs_shape(self) -> Tuple[int, int, int, int]:
+        """(num_snakes, H, W, C) — reference envs/snake_env.py:115-129."""
+        return (self.num_snakes, self.obs_height, self.obs_width,
+                self.obs_channels)
+
+    @property
+    def body_capacity(self) -> int:
+        """Max body length; a snake can never exceed the interior area."""
+        return (self.height - 2) * (self.width - 2)
+
+    def reward(self, name: str) -> float:
+        return self.rewards[REWARD_KEYS.index(name)]

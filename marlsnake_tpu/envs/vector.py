@@ -1,0 +1,97 @@
+"""Vectorized environments: vmap over a batched EnvState PyTree.
+
+This subsumes the reference's process-per-env ``AsyncVectorMultiEnv``
+(wrappers.py:126-194): instead of fork workers + POSIX shared memory, the
+batch of env states lives as device arrays and one jitted program steps all
+envs. Auto-reset mirrors the reference worker's behavior
+(wrappers.py:141-143): when an env's episode-done predicate fires, the env
+is reset and the RESET observation is returned in place of the terminal one
+(rewards/dones/info still describe the finished step).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from marlsnake_tpu.core import engine
+from marlsnake_tpu.core.spawn import spawn_candidates
+from marlsnake_tpu.core.state import EnvState
+from marlsnake_tpu.core.types import EnvConfig
+
+_RESET_SALT = 0x5EED
+
+
+def build_vector_fns(cfg: EnvConfig, autoreset: bool = True):
+    """Return (reset_fn, step_fn) pure functions over batched states.
+
+    ``reset_fn(keys) -> (states, obs)`` with keys of shape (B,);
+    ``step_fn(states, actions) -> (states, StepOutput)`` with actions (B, N).
+    Both are unjitted so they compose into larger jitted/sharded programs.
+    """
+    candidates = jnp.asarray(
+        spawn_candidates(cfg.height, cfg.width, cfg.snake_length))
+    reset1 = functools.partial(engine.reset, cfg, candidates)
+    step1 = functools.partial(engine.step, cfg)
+
+    def reset_fn(keys):
+        return jax.vmap(reset1)(keys)
+
+    def step_fn(states, actions):
+        states, out = jax.vmap(step1)(states, actions)
+        if not autoreset:
+            return states, out
+
+        def do_resets(operand):
+            states, out = operand
+            rkeys = jax.vmap(
+                lambda k: jax.random.fold_in(k, _RESET_SALT))(states.key)
+            new_states, new_obs = jax.vmap(reset1)(rkeys)
+            done = out.done_all  # (B,)
+
+            def sel(new, old):
+                d = done.reshape((-1,) + (1,) * (new.ndim - 1))
+                return jnp.where(d, new, old)
+
+            states = jax.tree.map(sel, new_states, states)
+            out = out.replace(obs=sel(new_obs, out.obs))
+            return states, out
+
+        return jax.lax.cond(out.done_all.any(), do_resets,
+                            lambda operand: operand, (states, out))
+
+    return reset_fn, step_fn
+
+
+class VectorSnakeEnv:
+    """Jitted batched environment (single host / single device).
+
+    For multi-device sharding see ``marlsnake_tpu.parallel``.
+    """
+
+    def __init__(self, cfg: EnvConfig, num_envs: int, autoreset: bool = True):
+        self.cfg = cfg
+        self.num_envs = num_envs
+        self.autoreset = autoreset
+        reset_fn, step_fn = build_vector_fns(cfg, autoreset)
+        self._reset = jax.jit(reset_fn)
+        self._step = jax.jit(step_fn)
+
+    def reset(self, key) -> Tuple[EnvState, jnp.ndarray]:
+        keys = jax.random.split(key, self.num_envs)
+        return self._reset(keys)
+
+    def step(self, states: EnvState,
+             actions) -> Tuple[EnvState, engine.StepOutput]:
+        return self._step(states, jnp.asarray(actions))
+
+    @property
+    def obs_shape(self):
+        return (self.num_envs,) + self.cfg.obs_shape
+
+    @property
+    def num_actions(self) -> int:
+        return self.cfg.num_actions

@@ -1,0 +1,61 @@
+"""DQN network — exact topology of the reference shared model.
+
+Reference: ``train_dqn.py:104-151`` — Conv(C->32->64->64, 3x3, stride 1,
+pad 1) -> FC(H*W*64 -> 256 -> 128 -> num_actions), ReLU throughout, with a
+``forward_features`` variant exposing the 128-d penultimate embedding (used
+by the NEAT hybrid, ``train_ga.py:94-111``).
+
+TPU-native differences: activations stay NHWC end-to-end (the reference
+permutes to NCHW for torch conv, ``train_dqn.py:122``; NHWC is the
+TPU-preferred layout so no permute exists here), and an optional
+``compute_dtype=bfloat16`` runs convs/matmuls on the MXU in bf16 with f32
+params. The conditional /255 normalization (``train_dqn.py:123``) is kept
+bit-compatible: it only divides when the batch max exceeds 1.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class DQN(nn.Module):
+    num_actions: int = 3
+    compute_dtype: Any = jnp.float32
+
+    def setup(self):
+        kw = dict(dtype=self.compute_dtype)
+        self.conv1 = nn.Conv(32, (3, 3), strides=1, padding=1, **kw)
+        self.conv2 = nn.Conv(64, (3, 3), strides=1, padding=1, **kw)
+        self.conv3 = nn.Conv(64, (3, 3), strides=1, padding=1, **kw)
+        self.fc1 = nn.Dense(256, **kw)
+        self.fc2 = nn.Dense(128, **kw)
+        self.fc3 = nn.Dense(self.num_actions, **kw)
+
+    @staticmethod
+    def _normalize(x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(jnp.float32)
+        # reference: x / 255 if x.max() > 1.0 else x (train_dqn.py:123)
+        return jnp.where(x.max() > 1.0, x / 255.0, x)
+
+    def _trunk(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim == 3:
+            x = x[None]
+        x = self._normalize(x).astype(self.compute_dtype)
+        x = nn.relu(self.conv1(x))
+        x = nn.relu(self.conv2(x))
+        x = nn.relu(self.conv3(x))
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(self.fc1(x))
+        x = nn.relu(self.fc2(x))
+        return x
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Q-values (B, num_actions)."""
+        return self.fc3(self._trunk(x)).astype(jnp.float32)
+
+    def features(self, x: jnp.ndarray) -> jnp.ndarray:
+        """128-d penultimate embedding (reference ``forward_features``)."""
+        return self._trunk(x).astype(jnp.float32)
