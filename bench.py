@@ -1,0 +1,90 @@
+"""Headline benchmark: env-steps/s/chip at 4096 parallel envs (20x20,
+4 snakes) with the full on-device obs pipeline and auto-reset.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference implementation measured at 783 env-steps/s
+(single env, single CPU core — BASELINE.md); the driver's build target is
+>1M env-steps/s/chip (BASELINE.json).
+
+The whole rollout (policy-free random actions -> step -> obs -> autoreset)
+runs as one jitted lax.scan so per-step Python dispatch never touches the
+hot loop.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from marlsnake_tpu.core.types import EnvConfig
+from marlsnake_tpu.envs.vector import build_vector_fns
+
+BASELINE_STEPS_PER_SEC = 783.0  # reference single-env CPU (BASELINE.md)
+
+
+def build_rollout(cfg: EnvConfig, num_envs: int, num_steps: int):
+    reset_fn, step_fn = build_vector_fns(cfg, autoreset=True)
+
+    @jax.jit
+    def init(key):
+        keys = jax.random.split(key, num_envs)
+        states, _ = reset_fn(keys)
+        return states
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def rollout(states, key):
+        def body(carry, _):
+            states, key = carry
+            key, k = jax.random.split(key)
+            actions = jax.random.randint(
+                k, (num_envs, cfg.num_snakes), 0, cfg.num_actions)
+            states, out = step_fn(states, actions)
+            return (states, key), out.reward.sum()
+
+        (states, key), rews = jax.lax.scan(
+            body, (states, key), length=num_steps)
+        return states, rews.sum()
+
+    return init, rollout
+
+
+def main():
+    num_envs = int(os.environ.get('BENCH_NUM_ENVS', 4096))
+    num_steps = int(os.environ.get('BENCH_NUM_STEPS', 256))
+    cfg = EnvConfig(height=20, width=20, num_snakes=4, snake_length=3)
+
+    init, rollout = build_rollout(cfg, num_envs, num_steps)
+    key = jax.random.key(0)
+    states = init(key)
+
+    # compile + warmup
+    states, r = rollout(states, jax.random.key(1))
+    r.block_until_ready()
+
+    t0 = time.perf_counter()
+    iters = 4
+    for i in range(iters):
+        states, r = rollout(states, jax.random.key(2 + i))
+    r.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    total_env_steps = num_envs * num_steps * iters
+    steps_per_sec = total_env_steps / dt
+    print(json.dumps({
+        'metric': 'env-steps/s/chip at 4096 parallel envs (20x20, 4 snakes)',
+        'value': round(steps_per_sec, 1),
+        'unit': 'env-steps/s',
+        'vs_baseline': round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

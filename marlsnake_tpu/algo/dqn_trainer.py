@@ -1,0 +1,434 @@
+"""Parameter-shared multi-agent DQN trainer.
+
+Re-design of the reference trainer (``train_dqn.py:26-383``) with identical
+algorithm semantics and hyperparameter defaults:
+
+* one shared policy/target DQN serves every snake (train_dqn.py:202-217);
+* per-agent epsilon-greedy actions, shared uniform replay, per-env-step
+  optimization (smooth-L1 TD loss, grad-clip 10, Adam — :228-257);
+* epsilon decay x0.9995 per episode, target sync every 100 episodes
+  (:313-317); early-death reward shaping (:294-295);
+* TensorBoard scalars Train/{Mean_Reward, Epsilon, Episode_Length, Loss}
+  (:324-328); best/periodic/keep-last-N checkpoints + resume (:336-383).
+
+TPU-native differences: the whole episode — action selection for all
+(num_envs x num_snakes) agents in ONE batched forward pass (the reference
+runs a separate batch-1 forward per agent per step, :280-285), env step,
+replay push, and the TD update — runs as a single jitted ``lax.scan``
+on-device. ``num_envs > 1`` scales the same algorithm across a batch of
+envs; the replay and learner are shared.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from marlsnake_tpu.algo import replay
+from marlsnake_tpu.core.types import EnvConfig
+from marlsnake_tpu.envs.vector import build_vector_fns
+from marlsnake_tpu.models.dqn import DQN
+
+
+@dataclasses.dataclass
+class DQNConfig:
+    """Mirrors the reference ``Config`` (train_dqn.py:26-82)."""
+    # environment
+    num_snakes: int = 4
+    height: int = 20
+    width: int = 20
+    snake_length: int = 5
+    vision_range: Optional[int] = None
+    frame_stack: int = 1
+    # training
+    num_episodes: int = 50_000
+    max_steps_per_episode: int = 256
+    batch_size: int = 512
+    gamma: float = 0.99
+    lr: float = 5e-4
+    epsilon_start: float = 1.0
+    epsilon_end: float = 0.05
+    epsilon_decay: float = 0.9995
+    buffer_size: int = 10_000
+    min_buffer_size: int = 512 * 3
+    target_update_freq: int = 100
+    # reward shaping (train_dqn.py:53-71)
+    early_death_threshold: int = 10
+    early_death_penalty: float = -1.0
+    reward_dict: Any = dataclasses.field(default_factory=lambda: {
+        'fruit': 1.0, 'kill': 0.0, 'lose': 0.0, 'win': 0.0, 'time': 0.0})
+    # checkpoints & logs
+    save_freq: int = 500
+    save_best_only: bool = True
+    keep_last_n: int = 3
+    save_dir: str = 'checkpoints'
+    log_dir: str = 'runs_dqn'
+    resume_from: Optional[str] = None
+    # TPU scaling knobs (no reference analog)
+    num_envs: int = 1
+    seed: int = 0
+    compute_dtype: Any = jnp.float32
+
+    def env_config(self) -> EnvConfig:
+        return EnvConfig.from_reward_dict(
+            self.reward_dict, height=self.height, width=self.width,
+            num_snakes=self.num_snakes, snake_length=self.snake_length,
+            vision_range=self.vision_range, frame_stack=self.frame_stack)
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    target_params: Any
+    opt_state: Any
+    buffer: replay.ReplayBuffer
+    epsilon: jnp.ndarray       # () float32
+    episode: jnp.ndarray       # () int32
+    global_step: jnp.ndarray   # () int32 — optimizer updates performed
+    key: jnp.ndarray
+
+
+@struct.dataclass
+class EpisodeMetrics:
+    mean_reward: jnp.ndarray     # () float32 — mean total shaped reward
+    mean_loss: jnp.ndarray       # () float32
+    episode_length: jnp.ndarray  # () float32 — steps until all done
+    updates: jnp.ndarray         # () int32
+
+
+class DQNTrainer:
+    """Single-device trainer; pass ``axis_name`` to make the episode body
+    SPMD-safe for use under ``shard_map`` (gradients are ``pmean``-reduced
+    over the mesh axis, per-device RNG is decorrelated by folding in the
+    axis index, and the buffer-ready predicate is all-reduced so every
+    device takes the optimizer-update branch in lockstep)."""
+
+    def __init__(self, config: DQNConfig, axis_name: Optional[str] = None):
+        self.axis_name = axis_name
+        self.config = config
+        self.env_cfg = config.env_config()
+        self.net = DQN(num_actions=self.env_cfg.num_actions,
+                       compute_dtype=config.compute_dtype)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(10.0),  # train_dqn.py:254
+            optax.adam(config.lr))
+        self._reset_env, self._step_env = build_vector_fns(
+            self.env_cfg, autoreset=False)
+        self._train_episode = jax.jit(self._episode_impl)
+        self.best_mean_reward = float('-inf')
+        self.writer = None
+
+    # ------------------------------------------------------------------
+    def init_state(self, key=None) -> TrainState:
+        cfg = self.config
+        if key is None:
+            key = jax.random.key(cfg.seed)
+        k_param, key = jax.random.split(key)
+        obs_shape = self.env_cfg.obs_shape[1:]  # per-agent (H, W, C)
+        dummy = jnp.zeros((1,) + obs_shape, jnp.uint8)
+        params = self.net.init(k_param, dummy)
+        return TrainState(
+            params=params,
+            target_params=params,
+            opt_state=self.tx.init(params),
+            buffer=replay.create(cfg.buffer_size, obs_shape),
+            epsilon=jnp.float32(cfg.epsilon_start),
+            episode=jnp.int32(0),
+            global_step=jnp.int32(0),
+            key=key,
+        )
+
+    # ------------------------------------------------------------------
+    def _select_actions(self, params, obs, dones, eps, key):
+        """Batched epsilon-greedy for (E, N) agents in one forward pass."""
+        e, n = obs.shape[:2]
+        flat = obs.reshape((e * n,) + obs.shape[2:])
+        q = self.net.apply(params, flat)  # (E*N, A)
+        greedy = jnp.argmax(q, axis=-1).astype(jnp.int32).reshape(e, n)
+        k1, k2 = jax.random.split(key)
+        rand = jax.random.randint(k1, (e, n), 0, self.env_cfg.num_actions)
+        explore = jax.random.uniform(k2, (e, n)) < eps
+        acts = jnp.where(explore, rand, greedy)
+        # dead agents act 0 (train_dqn.py:281-283)
+        return jnp.where(dones, 0, acts)
+
+    def _td_update(self, params, target_params, opt_state, batch):
+        obs, action, rew, next_obs, done = batch
+        cfg = self.config
+
+        def loss_fn(p):
+            q = self.net.apply(p, obs)
+            q_sa = jnp.take_along_axis(q, action[:, None], axis=-1)[:, 0]
+            next_q = self.net.apply(target_params, next_obs).max(axis=-1)
+            target = rew + (1.0 - done.astype(jnp.float32)) * cfg.gamma \
+                * jax.lax.stop_gradient(next_q)
+            return optax.huber_loss(q_sa, target, delta=1.0).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        if self.axis_name is not None:
+            grads = jax.lax.pmean(grads, self.axis_name)
+            loss = jax.lax.pmean(loss, self.axis_name)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    # ------------------------------------------------------------------
+    def _episode_impl(self, ts: TrainState
+                      ) -> Tuple[TrainState, EpisodeMetrics]:
+        cfg = self.config
+        e, n = cfg.num_envs, cfg.num_snakes
+
+        key, k_reset, key_next = jax.random.split(ts.key, 3)
+        if self.axis_name is not None:
+            # decorrelate per-device streams; ts.key itself advances via
+            # key_next, which stays replicated across the mesh
+            idx = jax.lax.axis_index(self.axis_name)
+            k_reset = jax.random.fold_in(k_reset, idx)
+            key = jax.random.fold_in(key, idx + 1_000_003)
+        reset_keys = jax.random.split(
+            jax.random.fold_in(k_reset, ts.episode), e)
+        env_states, obs = self._reset_env(reset_keys)
+
+        def body(carry, _):
+            (env_states, obs, dones, buffer, params, opt_state, key,
+             ep_rew, loss_sum, loss_cnt, step, frozen) = carry
+            key, k_act, k_sample = jax.random.split(key, 3)
+
+            actions = self._select_actions(params, obs, dones,
+                                           ts.epsilon, k_act)
+            new_env_states, out = self._step_env(env_states, actions)
+
+            # early-death shaping (train_dqn.py:294-297)
+            shaped = out.reward + jnp.where(
+                out.done & (step < cfg.early_death_threshold),
+                cfg.early_death_penalty, 0.0)
+            push_mask = ~dones & ~frozen[:, None]  # agents alive at step
+            flat = lambda x: x.reshape((e * n,) + x.shape[2:])
+            buffer = replay.push(
+                buffer, flat(obs), flat(actions), flat(shaped),
+                flat(out.obs), flat(out.done), mask=flat(push_mask))
+            ep_rew = ep_rew + jnp.where(push_mask, shaped, 0.0)
+
+            # one optimizer step per env step while the episode is live
+            can_update = (buffer.size >= cfg.min_buffer_size) & ~frozen.all()
+            if self.axis_name is not None:
+                # uniform predicate across the mesh so every device enters
+                # the (collective-containing) update branch together
+                can_update = jax.lax.pmin(
+                    can_update.astype(jnp.int32), self.axis_name) > 0
+
+            def do_update(args):
+                params, opt_state = args
+                batch = replay.sample(buffer, k_sample, cfg.batch_size)
+                p2, o2, loss = self._td_update(
+                    params, ts.target_params, opt_state, batch)
+                return p2, o2, loss, jnp.float32(1.0)
+
+            params, opt_state, loss, cnt = jax.lax.cond(
+                can_update, do_update,
+                lambda args: (args[0], args[1], jnp.float32(0.0),
+                              jnp.float32(0.0)),
+                (params, opt_state))
+            loss_sum = loss_sum + loss
+            loss_cnt = loss_cnt + cnt
+
+            # freeze finished envs (reference: while not all(dones))
+            new_frozen = frozen | out.done.all(axis=-1)
+            sel = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(
+                    frozen.reshape((-1,) + (1,) * (a.ndim - 1)), b, a),
+                new, old)
+            env_states = sel(new_env_states, env_states)
+            obs = sel(out.obs, obs)
+            dones = sel(out.done, dones)
+            step = step + jnp.where(frozen.all(), 0, 1)
+            return (env_states, obs, dones, buffer, params, opt_state,
+                    key, ep_rew, loss_sum, loss_cnt, step, new_frozen), None
+
+        dones0 = jnp.zeros((e, n), bool)
+        ep_rew0 = jnp.zeros((e, n), jnp.float32)
+        step0 = jnp.int32(0)
+        frozen0 = jnp.zeros((e,), bool)
+        if self.axis_name is not None:
+            # these carries transition to device-varying inside the scan;
+            # mark them varying up front for shard_map's vma checker
+            # (constant-initialized env-state leaves like epi stats too)
+            def cast(x):
+                aval = jax.typeof(x)
+                if self.axis_name in getattr(aval, 'vma', ()):
+                    return x  # already device-varying
+                return jax.lax.pcast(x, (self.axis_name,), to='varying')
+
+            dones0, ep_rew0, step0, frozen0 = map(
+                cast, (dones0, ep_rew0, step0, frozen0))
+            env_states = jax.tree.map(cast, env_states)
+            obs = cast(obs)
+        init = (env_states, obs, dones0, ts.buffer,
+                ts.params, ts.opt_state, key,
+                ep_rew0, jnp.float32(0.0),
+                jnp.float32(0.0), step0, frozen0)
+        carry, _ = jax.lax.scan(body, init,
+                                length=cfg.max_steps_per_episode)
+        (env_states, obs, dones, buffer, params, opt_state, key,
+         ep_rew, loss_sum, loss_cnt, step, frozen) = carry
+
+        episode = ts.episode + 1
+        epsilon = jnp.maximum(cfg.epsilon_end,
+                              ts.epsilon * cfg.epsilon_decay)
+        target_params = jax.tree.map(
+            lambda p, t: jnp.where(episode % cfg.target_update_freq == 0,
+                                   p, t),
+            params, ts.target_params)
+
+        metrics = EpisodeMetrics(
+            mean_reward=ep_rew.mean(),
+            mean_loss=jnp.where(loss_cnt > 0, loss_sum / loss_cnt, 0.0),
+            episode_length=step.astype(jnp.float32),
+            updates=loss_cnt.astype(jnp.int32),
+        )
+        if self.axis_name is not None:
+            metrics = metrics.replace(
+                mean_reward=jax.lax.pmean(metrics.mean_reward,
+                                          self.axis_name),
+                mean_loss=jax.lax.pmean(metrics.mean_loss, self.axis_name),
+                episode_length=jax.lax.pmean(metrics.episode_length,
+                                             self.axis_name),
+                updates=jax.lax.pmax(metrics.updates, self.axis_name))
+        ts = ts.replace(params=params, target_params=target_params,
+                        opt_state=opt_state, buffer=buffer,
+                        epsilon=epsilon, episode=episode,
+                        global_step=ts.global_step + metrics.updates,
+                        key=key_next)
+        return ts, metrics
+
+    # ------------------------------------------------------------------
+    def train(self, num_episodes: Optional[int] = None,
+              log: bool = True) -> TrainState:
+        cfg = self.config
+        num_episodes = num_episodes or cfg.num_episodes
+        ts = self.init_state()
+        start_ep = 1
+        if cfg.resume_from:
+            ts, extra = self.load_checkpoint(cfg.resume_from, ts)
+            start_ep = int(ts.episode) + 1
+            self.best_mean_reward = extra.get('best_mean_reward',
+                                             float('-inf'))
+
+        if log:
+            from datetime import datetime
+            run_dir = os.path.join(
+                cfg.log_dir, datetime.now().strftime('%Y%m%d-%H%M%S'))
+            self.writer = _make_writer(run_dir)
+        os.makedirs(cfg.save_dir, exist_ok=True)
+        history = []
+
+        t0 = time.time()
+        for ep in range(start_ep, num_episodes + 1):
+            ts, m = self._train_episode(ts)
+            if ep % 10 == 0 or ep == num_episodes:
+                mr = float(m.mean_reward)
+                ml = float(m.mean_loss)
+                if self.writer:
+                    self.writer.add_scalar('Train/Mean_Reward', mr, ep)
+                    self.writer.add_scalar('Train/Epsilon',
+                                           float(ts.epsilon), ep)
+                    self.writer.add_scalar('Train/Episode_Length',
+                                           float(m.episode_length), ep)
+                    if ml > 0:
+                        self.writer.add_scalar('Train/Loss', ml, ep)
+                print(f'Ep {ep:5d} | Mean Reward: {mr:6.2f} | '
+                      f'Loss: {ml:.4f} | eps: {float(ts.epsilon):.3f} | '
+                      f'Steps: {float(m.episode_length):.0f} | '
+                      f'{(time.time() - t0):.1f}s')
+            if cfg.save_best_only and ep >= 50:
+                mr = float(m.mean_reward)
+                if mr > self.best_mean_reward:
+                    self.best_mean_reward = mr
+                    self.save_checkpoint(ts, 'best')
+            if cfg.save_freq and ep % cfg.save_freq == 0:
+                self.save_checkpoint(ts, ep)
+                history.append(ep)
+                if len(history) > cfg.keep_last_n:
+                    self.delete_checkpoint(history.pop(0))
+        self.save_checkpoint(ts, 'final')
+        if self.writer:
+            self.writer.close()
+        return ts
+
+    # --- checkpointing (orbax) ----------------------------------------
+    def _ckpt_path(self, tag) -> str:
+        return os.path.abspath(
+            os.path.join(self.config.save_dir, f'shared_model_{tag}'))
+
+    def save_checkpoint(self, ts: TrainState, tag):
+        import orbax.checkpoint as ocp
+        path = self._ckpt_path(tag)
+        ckptr = ocp.StandardCheckpointer()
+        payload = {
+            'params': ts.params, 'target_params': ts.target_params,
+            'epsilon': ts.epsilon, 'episode': ts.episode,
+            'best_mean_reward': jnp.float32(self.best_mean_reward),
+        }
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+
+    def load_checkpoint(self, tag, ts: TrainState):
+        import orbax.checkpoint as ocp
+        path = self._ckpt_path(tag)
+        ckptr = ocp.StandardCheckpointer()
+        template = {
+            'params': ts.params, 'target_params': ts.target_params,
+            'epsilon': ts.epsilon, 'episode': ts.episode,
+            'best_mean_reward': jnp.float32(0.0),
+        }
+        restored = ckptr.restore(path, template)
+        ts = ts.replace(params=restored['params'],
+                        target_params=restored['target_params'],
+                        epsilon=restored['epsilon'],
+                        episode=restored['episode'])
+        return ts, {'best_mean_reward':
+                    float(restored['best_mean_reward'])}
+
+    def delete_checkpoint(self, tag):
+        import shutil
+        path = self._ckpt_path(tag)
+        if os.path.exists(path):
+            shutil.rmtree(path, ignore_errors=True)
+
+
+def _make_writer(log_dir):
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        return SummaryWriter(log_dir)
+    except Exception:
+        return None
+
+
+def main():
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument('--episodes', type=int, default=200)
+    p.add_argument('--num-envs', type=int, default=1)
+    p.add_argument('--height', type=int, default=20)
+    p.add_argument('--width', type=int, default=20)
+    p.add_argument('--num-snakes', type=int, default=4)
+    p.add_argument('--resume', type=str, default=None)
+    p.add_argument('--no-log', action='store_true')
+    args = p.parse_args()
+    cfg = DQNConfig(num_episodes=args.episodes, num_envs=args.num_envs,
+                    height=args.height, width=args.width,
+                    num_snakes=args.num_snakes, resume_from=args.resume)
+    DQNTrainer(cfg).train(log=not args.no_log)
+
+
+if __name__ == '__main__':
+    main()

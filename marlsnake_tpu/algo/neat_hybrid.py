@@ -1,0 +1,162 @@
+"""Hybrid NEAT-over-frozen-DQN evolution.
+
+Counterpart of the reference ``train_ga.py``: a pre-trained DQN is frozen
+as a 128-d feature extractor (train_ga.py:94-111); NEAT evolves the 3-way
+decision head, seeded with a genome equivalent to the DQN's own fc3 layer
+(``fc3_to_genome``, train_ga.py:199-215), which is saved immediately as the
+initial winner and overwritten whenever evolution improves on it
+(train_ga.py:224-257). Checkpoints are written atomically via tmp-file +
+``os.replace`` (train_ga.py:45-57).
+
+TPU-native difference: the fitness rollout is BATCHED — the whole
+population plays simultaneously, one env per genome, and the frozen-DQN
+embedding for all (pop_size x num_snakes) agents is a single batched
+forward pass per step (the reference steps one env per genome serially,
+train_ga.py:224-241). Only the tiny evolved decision heads run on host.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from marlsnake_tpu.algo.neat import (FeedForwardNetwork, Genome,
+                                     NeatConfig, Population)
+from marlsnake_tpu.core.types import EnvConfig
+from marlsnake_tpu.envs.vector import build_vector_fns
+from marlsnake_tpu.models.dqn import DQN
+
+DEFAULT_REWARD = {'fruit': 10.0, 'kill': 0.0, 'lose': -20.0, 'win': 0.0,
+                  'time': -0.03}  # train_ga.py:266-273
+
+
+def save_checkpoint_safe(data, filename: str):
+    """Atomic pickle write (train_ga.py:45-57)."""
+    tmp = filename + '.tmp'
+    with open(tmp, 'wb') as f:
+        pickle.dump(data, f)
+    os.replace(tmp, filename)
+
+
+def fc3_to_genome(params, neat_cfg: NeatConfig) -> Genome:
+    """Convert the DQN fc3 layer into an equivalent NEAT genome
+    (train_ga.py:199-215). flax Dense kernel is (in, out)."""
+    p = params['params'] if 'params' in params else params
+    kernel = np.asarray(p['fc3']['kernel'])  # (128, 3)
+    bias = np.asarray(p['fc3']['bias'])      # (3,)
+    genome = Genome(0)
+    import random as _random
+    genome.configure_new(neat_cfg, _random.Random(0))
+    for o, ok in enumerate(neat_cfg.output_keys):
+        genome.nodes[ok].bias = float(bias[o])
+        for i, ik in enumerate(neat_cfg.input_keys):
+            genome.connections[(ik, ok)].weight = float(kernel[i, o])
+    return genome
+
+
+class HybridNEATTrainer:
+    def __init__(self, dqn_params, env_cfg: Optional[EnvConfig] = None,
+                 neat_cfg: Optional[NeatConfig] = None,
+                 episode_steps: int = 512,
+                 result_file: str = 'hybrid_neat_best.pkl',
+                 seed: int = 0):
+        self.env_cfg = env_cfg or EnvConfig.from_reward_dict(
+            DEFAULT_REWARD, height=20, width=20, num_snakes=4,
+            snake_length=5)
+        self.neat_cfg = neat_cfg or NeatConfig(
+            num_inputs=128, num_outputs=self.env_cfg.num_actions)
+        self.episode_steps = episode_steps
+        self.result_file = result_file
+        self.seed = seed
+        self.dqn_params = dqn_params
+        self.net = DQN(num_actions=self.env_cfg.num_actions)
+        self.best_fitness = -1e9
+
+        pop = self.neat_cfg.pop_size
+        self._reset_env, self._step_env = build_vector_fns(
+            self.env_cfg, autoreset=False)
+
+        @jax.jit
+        def embed(params, obs):  # obs (pop, N, H, W, C)
+            flat = obs.reshape((-1,) + obs.shape[2:])
+            return self.net.apply(params, flat,
+                                  method=self.net.features
+                                  ).reshape(obs.shape[0], obs.shape[1], -1)
+
+        self._embed = embed
+        self._step_jit = jax.jit(self._step_env)
+        self._reset_jit = jax.jit(self._reset_env)
+
+    # ------------------------------------------------------------------
+    def eval_genomes(self, genomes, cfg: NeatConfig):
+        """Batched fitness: one env per genome, all stepped together."""
+        n = self.env_cfg.num_snakes
+        pop = len(genomes)
+        nets = [FeedForwardNetwork.create(g, cfg) for _, g in genomes]
+        keys = jax.random.split(
+            jax.random.fold_in(jax.random.key(self.seed), self._gen_tick()),
+            pop)
+        states, obs = self._reset_jit(keys)
+        returns = np.zeros((pop, n))
+        done = np.zeros((pop, n), bool)
+        for _ in range(self.episode_steps):
+            emb = np.asarray(self._embed(self.dqn_params, jnp.asarray(obs)))
+            actions = np.zeros((pop, n), np.int32)
+            for p in range(pop):
+                if done[p].all():
+                    continue
+                for i in range(n):
+                    if not done[p, i]:
+                        actions[p, i] = int(np.argmax(
+                            nets[p].activate(emb[p, i])))
+            states, out = self._step_jit(states, jnp.asarray(actions))
+            rews = np.asarray(out.reward)
+            returns += rews
+            done = np.asarray(out.done)
+            if done.all():
+                break
+            obs = out.obs
+
+        for (gid, genome), ret in zip(genomes, returns):
+            genome.fitness = float(ret.mean())
+            if genome.fitness > self.best_fitness:
+                self.best_fitness = genome.fitness
+                save_checkpoint_safe({
+                    'dqn_params': jax.device_get(self.dqn_params),
+                    'neat_genome': genome,
+                    'neat_config': cfg,
+                }, self.result_file)
+
+    _tick = 0
+
+    def _gen_tick(self):
+        HybridNEATTrainer._tick += 1
+        return HybridNEATTrainer._tick
+
+    # ------------------------------------------------------------------
+    def run(self, num_generations: int = 50, verbose: bool = True):
+        pop = Population(self.neat_cfg, seed=self.seed)
+        init = fc3_to_genome(self.dqn_params, self.neat_cfg)
+        pop.inject(init)
+        self.best_fitness = -1e9
+        # initial winner saved immediately (train_ga.py:290-305)
+        save_checkpoint_safe({
+            'dqn_params': jax.device_get(self.dqn_params),
+            'neat_genome': init,
+            'neat_config': self.neat_cfg,
+        }, self.result_file)
+        return pop.run(self.eval_genomes, num_generations, verbose=verbose)
+
+
+def load_hybrid(result_file: str):
+    """Load a hybrid checkpoint -> (dqn_params, FeedForwardNetwork)."""
+    with open(result_file, 'rb') as f:
+        data = pickle.load(f)
+    net = FeedForwardNetwork.create(data['neat_genome'],
+                                    data['neat_config'])
+    return data['dqn_params'], net

@@ -54,6 +54,7 @@ from flax import struct
 from marlsnake_tpu.core import types as T
 from marlsnake_tpu.core.state import (
     EnvState, ring_push, ring_pop_tail)
+from marlsnake_tpu.ops.scatter import dense_add_1d, dense_set_1d
 
 _DIR_DELTA = jnp.asarray(T.DIR_DELTA)
 _TURN_SNAKE = jnp.asarray(T.TURN_SNAKE)
@@ -103,8 +104,7 @@ def place_fruits(grid: jnp.ndarray, u: jnp.ndarray,
     r = jnp.clip(r, 0, jnp.maximum(num_empty - 1, 0))
     cells = jnp.argmax(cum[None, :] > r[:, None], axis=1)
     valid = (jnp.arange(u.shape[0]) < count) & (num_empty > 0)
-    cells = jnp.where(valid, cells, h * w)  # OOB -> dropped
-    flat = flat.at[cells].set(T.FRUIT, mode='drop')
+    flat = dense_set_1d(flat, cells, T.FRUIT, valid)
     return flat.reshape(h, w)
 
 
@@ -215,11 +215,12 @@ def reset(cfg: T.EnvConfig, candidates: jnp.ndarray,
     flat = grid.reshape(-1)
     cell_flat = coords[..., 0] * w + coords[..., 1]  # (N, k)
     snake_ids = jnp.arange(n, dtype=jnp.int32) * 10
-    # Paint body, then head, then tail (reference snake_env.py:138-144).
-    flat = flat.at[cell_flat.reshape(-1)].set(
-        jnp.repeat(T.BODY + snake_ids, k))
-    flat = flat.at[cell_flat[:, 0]].set(T.HEAD + snake_ids)
-    flat = flat.at[cell_flat[:, -1]].set(T.TAIL + snake_ids)
+    # Paint body, then head, then tail (reference snake_env.py:138-144),
+    # as dense one-hot writes (cells are disjoint across snakes).
+    flat = dense_set_1d(flat, cell_flat.reshape(-1),
+                        jnp.repeat(T.BODY + snake_ids, k))
+    flat = dense_set_1d(flat, cell_flat[:, 0], T.HEAD + snake_ids)
+    flat = dense_set_1d(flat, cell_flat[:, -1], T.TAIL + snake_ids)
     grid = flat.reshape(h, w)
 
     nf = cfg.resolved_num_fruits
@@ -284,7 +285,11 @@ def step(cfg: T.EnvConfig, state: EnvState,
     tgt = state.head + _DIR_DELTA[new_dir]  # (N, 2); interior-safe
 
     # --- Phase 2: collision vs pre-move grid ---
-    tgt_cell = grid[tgt[:, 0], tgt[:, 1]]
+    # dense gather: (N, HW) one-hot dot beats a tiny dynamic gather on TPU
+    tgt_flat_idx = tgt[:, 0] * w + tgt[:, 1]
+    tgt_onehot = tgt_flat_idx[:, None] == jnp.arange(hw)[None, :]
+    tgt_cell = (jnp.where(tgt_onehot, grid.reshape(-1)[None, :], 0)
+                ).sum(axis=1)
     tgt_type = tgt_cell % 10
     tgt_owner = jnp.clip(tgt_cell // 10, 0, n - 1)
     same_tgt = ((tgt[:, None, 0] == tgt[None, :, 0])
@@ -301,8 +306,8 @@ def step(cfg: T.EnvConfig, state: EnvState,
     primary = alive0 & ~shared_lower
     hit_snake = (tgt_type == T.BODY) | (tgt_type == T.HEAD)
     kill_credit = primary & hit_snake
-    kills_delta = jnp.zeros((n,), jnp.float32).at[tgt_owner].add(
-        kill_credit.astype(jnp.float32))
+    kills_delta = dense_add_1d(jnp.zeros((n,), jnp.float32), tgt_owner,
+                               kill_credit.astype(jnp.float32))
     fruit_dead = primary & multi & (tgt_type == T.FRUIT)
     eats = alive0 & ~multi & ~deadly & (tgt_type == T.FRUIT)
     fruit_taken = (fruit_dead.sum() + eats.sum()).astype(jnp.int32)
@@ -337,20 +342,21 @@ def step(cfg: T.EnvConfig, state: EnvState,
 
     # --- Phase 6: grid update (masked writes in an order-equivalent order) --
     t_pre = grid % 10
-    owner_pre = jnp.clip(grid // 10, 0, n - 1)
-    erase = (t_pre >= T.HEAD) & dead_now[owner_pre]
+    owner_pre = grid // 10
+    # dense owner test (no gather): cell erased iff its owner died now
+    dead_owner = (dead_now[:, None, None]
+                  & (owner_pre[None] == idx_n[:, None, None])).any(0)
+    erase = (t_pre >= T.HEAD) & dead_owner
     flat = jnp.where(erase, T.EMPTY, grid).reshape(-1)
 
     head_flat = state.head[:, 0] * w + state.head[:, 1]
     tail_flat = state.tail[:, 0] * w + state.tail[:, 1]
     snake_ids = idx_n.astype(jnp.int32) * 10
     # old head -> BODY for survivors
-    flat = flat.at[jnp.where(alive1, head_flat, hw)].set(
-        T.BODY + snake_ids, mode='drop')
+    flat = dense_set_1d(flat, head_flat, T.BODY + snake_ids, alive1)
     # retracting tails -> EMPTY
     retract = alive1 & ~eats
-    flat = flat.at[jnp.where(retract, tail_flat, hw)].set(
-        T.EMPTY, mode='drop')
+    flat = dense_set_1d(flat, tail_flat, T.EMPTY, retract)
 
     # body ring: push new head link, pop tail link when retracting
     ring, ring_head, ring_len = ring_push(
@@ -362,10 +368,8 @@ def step(cfg: T.EnvConfig, state: EnvState,
 
     nh_flat = new_head[:, 0] * w + new_head[:, 1]
     nt_flat = new_tail[:, 0] * w + new_tail[:, 1]
-    flat = flat.at[jnp.where(alive1, nh_flat, hw)].set(
-        T.HEAD + snake_ids, mode='drop')
-    flat = flat.at[jnp.where(alive1, nt_flat, hw)].set(
-        T.TAIL + snake_ids, mode='drop')
+    flat = dense_set_1d(flat, nh_flat, T.HEAD + snake_ids, alive1)
+    flat = dense_set_1d(flat, nt_flat, T.TAIL + snake_ids, alive1)
     grid = flat.reshape(h, w)
 
     # --- Phase 7: fruit respawn ---

@@ -71,11 +71,10 @@ def ring_push(ring: jnp.ndarray, ring_head: jnp.ndarray,
     Vectorized analog of ``Snake.directions.appendleft``
     (core/snake.py:98).
     """
+    from marlsnake_tpu.ops.scatter import dense_set_rows
     cap = ring.shape[-1]
     new_head = jnp.where(mask, (ring_head - 1) % cap, ring_head)
-    rows = jnp.arange(ring.shape[0])
-    updated = ring.at[rows, new_head].set(
-        jnp.where(mask, direction, ring[rows, new_head]))
+    updated = dense_set_rows(ring, new_head, direction, mask)
     new_len = jnp.where(mask, ring_len + 1, ring_len)
     return updated, new_head, new_len
 
@@ -88,9 +87,10 @@ def ring_pop_tail(ring: jnp.ndarray, ring_head: jnp.ndarray,
     Vectorized analog of ``Snake.directions.pop`` (core/snake.py:103).
     """
     cap = ring.shape[-1]
-    rows = jnp.arange(ring.shape[0])
     idx = (ring_head + ring_len - 1) % cap
-    popped = ring[rows, idx]
+    # dense row gather (one-hot select beats dynamic gather on TPU)
+    onehot = idx[:, None] == jnp.arange(cap)[None, :]
+    popped = jnp.where(onehot, ring, 0).sum(axis=1)
     new_len = jnp.where(mask, ring_len - 1, ring_len)
     return popped, new_len
 

@@ -1,0 +1,143 @@
+"""Trainer / replay / evaluator / NEAT tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from marlsnake_tpu.algo import replay
+from marlsnake_tpu.core import types as T
+
+
+def test_replay_push_sample_wraparound():
+    buf = replay.create(8, (2, 2, 1))
+    obs = jnp.arange(6 * 4, dtype=jnp.uint8).reshape(6, 2, 2, 1)
+    buf = replay.push(buf, obs, jnp.arange(6), jnp.arange(6.0),
+                      obs, jnp.zeros(6, bool))
+    assert int(buf.size) == 6 and int(buf.ptr) == 6
+    buf = replay.push(buf, obs, jnp.arange(6), jnp.arange(6.0),
+                      obs, jnp.zeros(6, bool))
+    assert int(buf.size) == 8 and int(buf.ptr) == 4
+    s = replay.sample(buf, jax.random.key(0), 16)
+    assert s[0].shape == (16, 2, 2, 1)
+
+
+def test_replay_masked_push():
+    buf = replay.create(8, (1,))
+    obs = jnp.arange(4, dtype=jnp.uint8).reshape(4, 1)
+    mask = jnp.asarray([True, False, True, False])
+    buf = replay.push(buf, obs, jnp.arange(4), jnp.arange(4.0),
+                      obs, jnp.zeros(4, bool), mask=mask)
+    assert int(buf.size) == 2
+    np.testing.assert_array_equal(np.asarray(buf.obs[:2, 0]), [0, 2])
+    np.testing.assert_array_equal(np.asarray(buf.reward[:2]), [0.0, 2.0])
+
+
+def test_dqn_trainer_learns_something():
+    from marlsnake_tpu.algo.dqn_trainer import DQNConfig, DQNTrainer
+    cfg = DQNConfig(height=8, width=8, num_snakes=2, snake_length=2,
+                    num_envs=2, max_steps_per_episode=16, batch_size=32,
+                    min_buffer_size=32, buffer_size=256,
+                    save_freq=0, save_best_only=False)
+    tr = DQNTrainer(cfg)
+    ts = tr.init_state()
+    p0 = jax.tree.leaves(ts.params)[0]
+    losses = []
+    for _ in range(6):
+        ts, m = tr._train_episode(ts)
+        losses.append(float(m.mean_loss))
+    assert int(ts.episode) == 6
+    assert float(ts.epsilon) < cfg.epsilon_start
+    # params must have changed once updates started
+    p1 = jax.tree.leaves(ts.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_ppo_trainer_update_runs():
+    from marlsnake_tpu.algo.ppo_trainer import PPOConfig, PPOTrainer
+    cfg = PPOConfig(height=8, width=8, num_snakes=2, snake_length=2,
+                    num_envs=4, rollout_steps=8, num_minibatches=2,
+                    update_epochs=2)
+    tr = PPOTrainer(cfg)
+    ts = tr.init_state()
+    ts, m = tr._update(ts)
+    assert np.isfinite(float(m.loss_actor))
+    assert np.isfinite(float(m.loss_value))
+    # fresh policy over 3 actions: entropy near ln 3 (reference PPO logged
+    # ~1.09 at the start, BASELINE.md)
+    assert abs(float(m.entropy) - np.log(3)) < 0.1
+
+
+def test_evaluator_avoids_certain_death():
+    """Straight into a wall with a free left turn: the mask must veto
+    straight."""
+    from marlsnake_tpu.algo.evaluator import masked_action_single
+    h = w = 7
+    obs = np.zeros((h, w, 8), np.uint8)
+    obs[0, :, T.CH_WALL] = 1
+    obs[-1, :, T.CH_WALL] = 1
+    obs[:, 0, T.CH_WALL] = 1
+    obs[:, -1, T.CH_WALL] = 1
+    # snake heading UP with head just under the top wall
+    obs[1, 3, T.CH_MY_HEAD] = 1
+    obs[2, 3, T.CH_MY_BODY] = 1
+    obs[3, 3, T.CH_MY_TAIL] = 1
+    q = jnp.asarray([10.0, 0.0, -1.0])  # Q prefers straight (death)
+    act, new_dir, nxt, exists = masked_action_single(
+        jnp.asarray(obs), q, jnp.asarray([-1, 0]),
+        jnp.zeros((h, w), bool))
+    assert bool(exists)
+    assert int(act) in (1, 2)  # left or right, never straight
+
+
+def test_evaluator_claim_prevents_collision():
+    from marlsnake_tpu.algo.evaluator import masked_action_single
+    h = w = 7
+    obs = np.zeros((h, w, 8), np.uint8)
+    obs[3, 3, T.CH_MY_HEAD] = 1
+    obs[4, 3, T.CH_MY_BODY] = 1
+    obs[5, 3, T.CH_MY_TAIL] = 1
+    q = jnp.asarray([5.0, 1.0, 0.0])
+    claimed = jnp.zeros((h, w), bool).at[2, 3].set(True)  # straight claimed
+    act, *_ = masked_action_single(jnp.asarray(obs), q,
+                                   jnp.asarray([-1, 0]), claimed)
+    assert int(act) in (1, 2)
+
+
+def test_neat_seed_genome_matches_linear_head():
+    """fc3_to_genome must reproduce the DQN head exactly."""
+    from marlsnake_tpu.algo.neat import FeedForwardNetwork, NeatConfig
+    from marlsnake_tpu.algo.neat_hybrid import fc3_to_genome
+    rng = np.random.default_rng(0)
+    kernel = rng.normal(size=(16, 3)).astype(np.float32)
+    bias = rng.normal(size=(3,)).astype(np.float32)
+    params = {'params': {'fc3': {'kernel': kernel, 'bias': bias}}}
+    cfg = NeatConfig(num_inputs=16, num_outputs=3)
+    genome = fc3_to_genome(params, cfg)
+    net = FeedForwardNetwork.create(genome, cfg)
+    x = rng.normal(size=(16,)).astype(np.float32)
+    got = np.asarray(net.activate(x))
+    want = np.maximum(x @ kernel + bias, 0.0)  # relu output nodes
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_neat_evolution_improves_xor():
+    from marlsnake_tpu.algo.neat import (FeedForwardNetwork, NeatConfig,
+                                         Population)
+    cfg = NeatConfig(num_inputs=2, num_outputs=1, pop_size=60,
+                     activation_default='sigmoid',
+                     activation_options=('sigmoid',),
+                     compatibility_threshold=3.0)
+    cases = [((0, 0), 0), ((0, 1), 1), ((1, 0), 1), ((1, 1), 0)]
+
+    def eval_fn(genomes, c):
+        for _, g in genomes:
+            net = FeedForwardNetwork.create(g, c)
+            err = sum((net.activate(x)[0] - y) ** 2 for x, y in cases)
+            g.fitness = 4.0 - err
+
+    pop = Population(cfg, seed=1)
+    best = pop.run(eval_fn, 12, verbose=False)
+    first_gen = Population(cfg, seed=1)
+    eval_fn([(g.key, g) for g in first_gen.genomes], cfg)
+    best0 = max(g.fitness for g in first_gen.genomes)
+    assert best.fitness >= best0  # evolution never regresses the champion

@@ -1,0 +1,126 @@
+"""Unit tests for ops: flood fill, dense scatter, ray features."""
+
+import math
+from collections import deque
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from marlsnake_tpu.core import types as T
+from marlsnake_tpu.ops.floodfill import reachable_count
+from marlsnake_tpu.ops.scatter import dense_add_1d, dense_set_1d
+from marlsnake_tpu.ops.rays import ray_features
+from marlsnake_tpu.core.types import EnvConfig
+
+
+def bfs_count(passable, start, limit=60):
+    """Reference-style count-capped BFS (train_dqn.py:444-461)."""
+    q = deque([tuple(start)])
+    visited = {tuple(start)}
+    count = 0
+    h, w = passable.shape
+    while q and count < limit:
+        y, x = q.popleft()
+        count += 1
+        for dy, dx in [(-1, 0), (1, 0), (0, -1), (0, 1)]:
+            ny, nx = y + dy, x + dx
+            if (0 <= ny < h and 0 <= nx < w and (ny, nx) not in visited
+                    and passable[ny, nx]):
+                visited.add((ny, nx))
+                q.append((ny, nx))
+    return count
+
+
+@pytest.mark.parametrize('seed', range(8))
+def test_floodfill_matches_bfs(seed):
+    rng = np.random.default_rng(seed)
+    passable = rng.random((12, 12)) > 0.35
+    start = (rng.integers(12), rng.integers(12))
+    got = int(reachable_count(jnp.asarray(passable),
+                              jnp.asarray(start), limit=60))
+    want = bfs_count(passable, start, limit=60)
+    assert got == want
+
+
+def test_floodfill_cap():
+    passable = np.ones((20, 20), bool)
+    got = int(reachable_count(jnp.asarray(passable),
+                              jnp.asarray((10, 10)), limit=60))
+    assert got == 60
+
+
+def test_dense_set_1d_last_writer_wins_and_valid():
+    arr = jnp.zeros(10, jnp.int32)
+    out = dense_set_1d(arr, jnp.asarray([2, 2, 5]),
+                       jnp.asarray([7, 9, 3]),
+                       jnp.asarray([True, True, False]))
+    assert out[2] == 9 and out[5] == 0 and out.sum() == 9
+
+
+def test_dense_add_accumulates():
+    out = dense_add_1d(jnp.zeros(4), jnp.asarray([1, 1, 3]),
+                       jnp.asarray([1.0, 2.0, 5.0]))
+    np.testing.assert_allclose(np.asarray(out), [0, 3, 0, 5])
+
+
+def _ray_reference(cfg, obs, head, direction, alive):
+    """Independent numpy replica of graph_snake_env._process_obs
+    (per-snake rows, not the compacted reference layout)."""
+    n, H, W, C = obs.shape
+    v = cfg.vision_range if cfg.vision_range else 5
+    out = np.zeros((n, 5, C))
+    angle_map = {0: 0.0, 1: math.pi / 2, 2: -math.pi / 2}
+    for s in range(n):
+        if not alive[s]:
+            continue
+        d = T.DIR_DELTA[direction[s]]
+        angle = math.atan2(d[1], d[0])
+        hd = (v, v) if cfg.vision_range else tuple(head[s])
+        dirs = []
+        for a in range(3):
+            dirs.append((int(math.cos(angle + angle_map[a])),
+                         int(math.sin(angle + angle_map[a]))))
+        rows = []
+        for a in range(3):
+            acc = np.zeros(C)
+            for i in range(v):
+                cell = obs[s][hd[0] + dirs[a][0] * (i + 1),
+                              hd[1] + dirs[a][1] * (i + 1)]
+                acc += cell / (i + 1)
+                if cell[0] == 1:
+                    break
+            rows.append(acc)
+        for pair in [(0, 1), (0, 2)]:
+            dd = (dirs[pair[0]][0] + dirs[pair[1]][0],
+                  dirs[pair[0]][1] + dirs[pair[1]][1])
+            acc = np.zeros(C)
+            for i in range(v):
+                cell = obs[s][hd[0] + dd[0] * (i + 1),
+                              hd[1] + dd[1] * (i + 1)]
+                acc += cell / ((i + 1) * math.sqrt(2))
+                if cell[0] == 1:
+                    break
+            rows.append(acc)
+        out[s] = np.stack(rows)
+    return out
+
+
+@pytest.mark.parametrize('seed', [0, 3])
+def test_ray_features_match_reference_loop(seed):
+    import jax
+    from marlsnake_tpu.envs.env import make_env
+    cfg = EnvConfig(height=12, width=12, num_snakes=3, snake_length=3,
+                    num_fruits=3)
+    env = make_env(cfg)
+    state, obs = env.reset(jax.random.key(seed))
+    rng = np.random.default_rng(seed)
+    for _ in range(10):
+        state, out = env.step(state,
+                              jnp.asarray(rng.integers(0, 3, size=3)))
+    got = np.asarray(ray_features(cfg, out.obs, state.head,
+                                  state.direction, state.alive))
+    want = _ray_reference(cfg, np.asarray(out.obs), np.asarray(state.head),
+                          np.asarray(state.direction),
+                          np.asarray(state.alive))
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -1,0 +1,74 @@
+"""Multi-device tests on the fake-distributed 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+needs_mesh = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason='needs 8 virtual devices')
+
+
+@needs_mesh
+def test_distributed_dqn_episode():
+    from marlsnake_tpu.algo.dqn_trainer import DQNConfig
+    from marlsnake_tpu.parallel.dqn_dp import DistributedDQN
+    from marlsnake_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    cfg = DQNConfig(height=8, width=8, num_snakes=2, snake_length=2,
+                    num_envs=16, max_steps_per_episode=6, batch_size=16,
+                    min_buffer_size=16, buffer_size=128)
+    ddqn = DistributedDQN(cfg, mesh)
+    ts = ddqn.init_state()
+    assert ts.buffer.obs.shape[0] == 8 * cfg.buffer_size
+    ts, m = ddqn.train_episode(ts)
+    ts, m = ddqn.train_episode(ts)
+    # params stay replicated: every device shard must hold identical values
+    leaf = jax.tree.leaves(ts.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    # replay shards advanced independently
+    assert all(int(s) > 0 for s in np.asarray(ts.buffer.size))
+
+
+@needs_mesh
+def test_sharded_env_rollout_matches_single_device():
+    """The env program must be sharding-invariant: stepping envs sharded
+    over the mesh gives bit-identical results to a single device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from marlsnake_tpu.core.types import EnvConfig
+    from marlsnake_tpu.envs.vector import build_vector_fns
+    from marlsnake_tpu.parallel.mesh import make_mesh
+
+    cfg = EnvConfig(height=10, width=10, num_snakes=2, snake_length=3)
+    reset_fn, step_fn = build_vector_fns(cfg, autoreset=True)
+    keys = jax.random.split(jax.random.key(0), 16)
+    states, obs = jax.jit(reset_fn)(keys)
+
+    mesh = make_mesh(8)
+    sharded_states = jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P('data'))), states)
+
+    acts = jnp.zeros((16, 2), jnp.int32)
+    s1, o1 = jax.jit(step_fn)(states, acts)
+    s2, o2 = jax.jit(step_fn)(sharded_states, acts)
+    np.testing.assert_array_equal(np.asarray(o1.obs), np.asarray(o2.obs))
+    np.testing.assert_array_equal(np.asarray(s1.grid), np.asarray(s2.grid))
+
+
+def test_graft_entry_contract():
+    import sys
+    sys.path.insert(0, '/root/repo')
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == args[1].shape[0]
+
+
+@needs_mesh
+def test_dryrun_multichip():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)

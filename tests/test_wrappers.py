@@ -1,0 +1,96 @@
+"""Wrapper/factory API tests (reference wrappers.py surface)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from marlsnake_tpu.envs.wrappers import make, make_snake
+
+
+def test_make_snake_single():
+    env, obs_shape, action_shape, props = make_snake(
+        num_envs=1, num_snakes=4, height=12, width=12, snake_length=3)
+    assert props == {'action_info': {'action_n': 3}, 'num_envs': 1,
+                     'num_snakes': 4}
+    assert obs_shape == (4, 12, 12, 8)
+    obs = env.reset()
+    assert obs.shape == (4, 12, 12, 8) and obs.dtype == np.uint8
+    obs, rews, dones, info = env.step([0, 1, 2, 0])
+    assert len(rews) == 4 and len(dones) == 4
+
+
+def test_make_snake_single_agent():
+    env, *_ = make_snake(num_envs=1, num_snakes=1, height=10, width=10,
+                         snake_length=3)
+    obs = env.reset()
+    assert obs.shape == (10, 10, 8)
+    obs, r, d, _ = env.step(0)
+    assert np.isscalar(r) or isinstance(r, float)
+
+
+def test_make_snake_vectorized():
+    env, obs_shape, _, props = make_snake(
+        num_envs=4, num_snakes=2, height=10, width=10, snake_length=3)
+    obs = env.reset()
+    assert obs.shape == (4, 2, 10, 10, 8)
+    acts = np.zeros((4, 2), np.int32)
+    for _ in range(30):
+        obs, rews, dones, info = env.step(acts)
+    assert rews.shape == (4, 2)
+
+
+def test_vision_range_and_frame_stack_shapes():
+    env, obs_shape, *_ = make_snake(num_envs=1, num_snakes=2,
+                                    height=20, width=20, snake_length=3,
+                                    vision_range=5, frame_stack=2)
+    assert obs_shape == (2, 11, 11, 16)
+    obs = env.reset()
+    assert obs.shape == (2, 11, 11, 16)
+
+
+def test_coop_broadcast_done():
+    env = make('SnakeCoop-v1', num_snakes=3, height=10, width=10,
+               num_fruits=2, seed=0)
+    env.reset()
+    for _ in range(200):
+        obs, rews, dones, info = env.step(
+            [env.action_space.sample() % 3 for _ in range(3)])
+        # coop: dones must be all-False or all-True
+        assert len(set(dones)) == 1
+        if all(dones):
+            break
+
+
+def test_graph_env_obs_shape():
+    env = make('SnakeGraph-v1', num_snakes=2, height=12, width=12)
+    obs = env.reset()
+    assert obs.shape == (2, 5, 8)
+    obs, rews, dones, _ = env.step([0, 0])
+    assert obs.shape == (2, 5, 8)
+
+
+def test_reward_dict_validation():
+    with pytest.raises(KeyError):
+        make('Snake-v1', num_snakes=2, reward_dict={'fruit': 1.0})
+
+
+def test_gif_save(tmp_path):
+    env = make('Snake-v1', num_snakes=1, height=10, width=10,
+               num_fruits=4, seed=1)
+    env.reset()
+    for _ in range(10):
+        env.render('gif')
+        env.step([env.action_space.sample() % 3])
+    fp = str(tmp_path / 'out.gif')
+    out = env.save_gif(fp)
+    assert os.path.exists(out)
+    from PIL import Image
+    gif = Image.open(out)
+    gif.seek(1)  # at least 2 frames
+
+
+def test_infeasible_config_rejected():
+    with pytest.raises(ValueError):
+        make('Snake-v1', num_snakes=4, height=4, width=4, snake_length=3)
