@@ -162,7 +162,14 @@ def stack_to_obs(obs_stack: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_empty_grid(cfg: T.EnvConfig) -> jnp.ndarray:
-    """Bordered empty grid (reference grid_util.py:14-20)."""
+    """Bordered empty grid (reference grid_util.py:14-20), with custom
+    interior walls when ``cfg.map_layout`` is set."""
+    if cfg.map_layout is not None:
+        from marlsnake_tpu.core.maps import parse_layout
+        import numpy as np
+        mask = parse_layout(cfg.map_layout)
+        return jnp.asarray(
+            np.where(mask, T.WALL, T.EMPTY).astype(np.int32))
     grid = jnp.full((cfg.height, cfg.width), T.EMPTY, dtype=jnp.int32)
     grid = grid.at[jnp.array([0, cfg.height - 1]), :].set(T.WALL)
     grid = grid.at[:, jnp.array([0, cfg.width - 1])].set(T.WALL)

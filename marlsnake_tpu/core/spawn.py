@@ -79,15 +79,19 @@ def _dfs(mask: np.ndarray, node, history, k, out):
                 _dfs(mask, cand, history, k, out)
 
 
-def enumerate_spawn_paths_py(height: int, width: int, k: int) -> np.ndarray:
-    """All k-cell self-avoiding spawn paths on an empty bordered grid.
+def enumerate_spawn_paths_py(height: int, width: int, k: int,
+                             wall_mask=None) -> np.ndarray:
+    """All k-cell self-avoiding spawn paths on a bordered grid.
 
     Returns (C, k, 2) int32, head first — same path order as the reference's
-    ``dfs_sweep_empty`` on a fresh grid.
+    ``dfs_sweep_empty`` on a fresh grid. ``wall_mask`` (H, W) bool adds
+    custom interior walls.
     """
     mask = np.ones((height, width), dtype=np.uint8)
     mask[[0, -1]] = 0
     mask[:, [0, -1]] = 0
+    if wall_mask is not None:
+        mask[np.asarray(wall_mask)] = 0
     out = []
     for r in range(height):
         for c in range(width):
@@ -118,8 +122,14 @@ def enumerate_spawn_paths_native(height: int, width: int,
 
 
 @functools.lru_cache(maxsize=32)
-def spawn_candidates(height: int, width: int, k: int) -> np.ndarray:
-    """Cached (C, k, 2) int32 candidate paths for an empty bordered grid."""
+def spawn_candidates(height: int, width: int, k: int,
+                     map_layout=None) -> np.ndarray:
+    """Cached (C, k, 2) int32 candidate paths for a bordered grid,
+    optionally with the custom walls of ``map_layout``."""
+    if map_layout is not None:
+        from marlsnake_tpu.core.maps import parse_layout
+        return enumerate_spawn_paths_py(height, width, k,
+                                        parse_layout(map_layout))
     if _load_native() is not None:
         try:
             return enumerate_spawn_paths_native(height, width, k)

@@ -120,8 +120,19 @@ class EnvConfig:
     # 'any' = CoopSnakeEnv (episode ends when any snake dies, done broadcast;
     #         reference envs/coop_snake_env.py:14-22).
     done_mode: str = 'all'
+    # Optional ASCII wall layout ('#' = wall); overrides height/width.
+    # First-class version of the reference's dead map-asset feature
+    # (core/grid_util.py:23-33, marlenv/assets/).
+    map_layout: Optional[Tuple[str, ...]] = None
 
     def __post_init__(self):
+        if self.map_layout is not None:
+            from marlsnake_tpu.core.maps import parse_layout
+            mask = parse_layout(self.map_layout)
+            object.__setattr__(self, 'map_layout',
+                               tuple(self.map_layout))
+            object.__setattr__(self, 'height', mask.shape[0])
+            object.__setattr__(self, 'width', mask.shape[1])
         if self.observer not in ('snake', 'human'):
             raise ValueError(f'unknown observer {self.observer!r}')
         if self.done_mode not in ('all', 'any'):

@@ -38,7 +38,11 @@ class SnakeEnv:
 
     def __init__(self, cfg: EnvConfig):
         self.cfg = cfg
-        interior = (cfg.height - 2) * (cfg.width - 2)
+        if cfg.map_layout is not None:
+            from marlsnake_tpu.core.maps import parse_layout
+            interior = int((~parse_layout(cfg.map_layout)).sum())
+        else:
+            interior = (cfg.height - 2) * (cfg.width - 2)
         if cfg.num_snakes * cfg.snake_length > interior:
             # The reference's rejection loop (snake_env.py:579-585) hangs
             # forever on infeasible configs; fail fast instead.
@@ -47,7 +51,8 @@ class SnakeEnv:
                 f'cannot fit on a {cfg.height}x{cfg.width} board '
                 f'({interior} interior cells)')
         self.candidates = jnp.asarray(
-            spawn_candidates(cfg.height, cfg.width, cfg.snake_length))
+            spawn_candidates(cfg.height, cfg.width, cfg.snake_length,
+                             cfg.map_layout))
         if self.candidates.shape[0] == 0:
             raise ValueError('no valid spawn positions for this config')
         self._reset = jax.jit(
@@ -95,5 +100,8 @@ def make_env(cfg: Optional[EnvConfig] = None, **kwargs) -> SnakeEnv:
         reward_dict = kwargs.pop('reward_dict', None)
         if 'num_fruits' not in kwargs:
             kwargs['num_fruits'] = -1
+        if 'map' in kwargs:  # bundled map name or path
+            from marlsnake_tpu.core.maps import load_layout
+            kwargs['map_layout'] = load_layout(kwargs.pop('map'))
         cfg = EnvConfig.from_reward_dict(reward_dict, **kwargs)
     return SnakeEnv(cfg)

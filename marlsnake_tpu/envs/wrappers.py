@@ -47,6 +47,9 @@ def make(env_id: str = 'Snake-v1', **kwargs) -> 'GymAdapter':
     seed = kwargs.pop('seed', 0)
     reward_dict = kwargs.pop('reward_dict', None)
     kwargs.setdefault('num_fruits', -1)
+    if 'map' in kwargs:
+        from marlsnake_tpu.core.maps import load_layout
+        kwargs['map_layout'] = load_layout(kwargs.pop('map'))
     cfg = EnvConfig.from_reward_dict(reward_dict,
                                      done_mode=spec['done_mode'], **kwargs)
     env = GraphSnakeEnv(cfg) if spec['graph'] else SnakeEnv(cfg)

@@ -90,7 +90,7 @@ class OracleEnv:
         self.cfg = cfg
         self.rng_mode = rng_mode
         self.candidates = spawn_candidates(
-            cfg.height, cfg.width, cfg.snake_length)
+            cfg.height, cfg.width, cfg.snake_length, cfg.map_layout)
         self.snakes: List[_Snake] = []
         self.grid: np.ndarray = None
         self._key = None  # jax mode per-step key
@@ -107,6 +107,9 @@ class OracleEnv:
         grid = np.full((h, w), T.EMPTY, dtype=np.int64)
         grid[[0, -1]] = T.WALL
         grid[:, [0, -1]] = T.WALL
+        if cfg.map_layout is not None:
+            from marlsnake_tpu.core.maps import parse_layout
+            grid[parse_layout(cfg.map_layout)] = T.WALL
 
         if self.rng_mode == 'jax':
             import jax

@@ -1,0 +1,74 @@
+"""Multi-host bootstrap and scaling measurement.
+
+The reference's only cross-process machinery is fork workers + pipes
+(wrappers.py:126-194) with fail-stop error propagation and no recovery
+(SURVEY.md §5). The TPU-native model: ``jax.distributed`` per host, one
+global mesh whose ``data`` axis spans all chips, ICI collectives inside a
+slice and DCN between slices — all inserted by XLA from the sharding
+annotations. Failure model is the standard JAX fail-stop + checkpoint
+restart (utils/checkpoint restores full state incl. env states and PRNG
+keys, so restart resumes mid-episode).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Initialize jax.distributed for a multi-host run. No-ops on a
+    single host with no coordinator configured."""
+    if coordinator_address is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def scaling_efficiency(cfg, envs_per_device: int = 512,
+                       num_steps: int = 64) -> dict:
+    """Measure env-step throughput at 1 device vs the full mesh.
+
+    Returns {'single': steps/s, 'full': steps/s, 'devices': n,
+    'efficiency': full / (n * single)} — the >80% scaling gate from
+    BASELINE.json.
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import numpy as np
+    from marlsnake_tpu.envs.vector import build_vector_fns
+
+    devices = jax.devices()
+    n = len(devices)
+    reset_fn, step_fn = build_vector_fns(cfg, autoreset=True)
+
+    def bench(num_envs, sharding=None):
+        keys = jax.random.split(jax.random.key(0), num_envs)
+        states, _ = jax.jit(reset_fn)(keys)
+        if sharding is not None:
+            states = jax.tree.map(
+                lambda x: jax.device_put(x, sharding), states)
+        acts = jnp.zeros((num_envs, cfg.num_snakes), jnp.int32)
+        step = jax.jit(lambda s, a: step_fn(s, a)[0])
+        out = step(states, acts)
+        jax.block_until_ready(out.grid)
+        t0 = time.perf_counter()
+        iters = 0
+        s = states
+        for _ in range(num_steps):
+            s = step(s, acts)
+            iters += 1
+        jax.block_until_ready(s.grid)
+        dt = time.perf_counter() - t0
+        return num_envs * iters / dt
+
+    single = bench(envs_per_device)
+    mesh = Mesh(np.array(devices), ('data',))
+    full = bench(envs_per_device * n, NamedSharding(mesh, P('data')))
+    return {'single': single, 'full': full, 'devices': n,
+            'efficiency': full / (n * single) if n else 1.0}
