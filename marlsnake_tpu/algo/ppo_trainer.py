@@ -99,7 +99,12 @@ class PPOMetrics:
 
 
 class PPOTrainer:
-    def __init__(self, config: PPOConfig):
+    """Pass ``axis_name`` to make ``_update_impl`` SPMD-safe under
+    ``shard_map``: per-device env/rollout streams are decorrelated,
+    gradients and metrics are mesh-reduced, and counters stay replicated."""
+
+    def __init__(self, config: PPOConfig, axis_name: Optional[str] = None):
+        self.axis_name = axis_name
         self.config = config
         self.env_cfg = config.env_config()
         self.net = ActorCritic(num_actions=self.env_cfg.num_actions,
@@ -139,6 +144,14 @@ class PPOTrainer:
         logits, value = self.net.apply(params, flat)
         return (logits.reshape(e, n, -1), value.reshape(e, n))
 
+    def _pvary(self, x):
+        if self.axis_name is None:
+            return x
+        aval = jax.typeof(x)
+        if self.axis_name in getattr(aval, 'vma', ()):
+            return x
+        return jax.lax.pcast(x, (self.axis_name,), to='varying')
+
     def _update_impl(self, ts: PPOTrainState):
         cfg = self.config
         e, n = cfg.num_envs, cfg.num_snakes
@@ -177,9 +190,15 @@ class PPOTrainer:
         def obs_next_of(out):
             return out.obs
 
-        carry = (ts.env_states, ts.obs, ts.agent_done, ts.key,
-                 ts.ep_return_acc, ts.finished_return_sum,
-                 ts.finished_count, ts.episodes)
+        key0, key_next = jax.random.split(ts.key)
+        if self.axis_name is not None:
+            key0 = jax.random.fold_in(
+                key0, jax.lax.axis_index(self.axis_name))
+        carry = (jax.tree.map(self._pvary, ts.env_states),
+                 self._pvary(ts.obs), self._pvary(ts.agent_done), key0,
+                 self._pvary(ts.ep_return_acc),
+                 self._pvary(ts.finished_return_sum),
+                 self._pvary(ts.finished_count), self._pvary(ts.episodes))
         carry, traj = jax.lax.scan(rollout_body, carry,
                                    length=cfg.rollout_steps)
         (env_states, obs, agent_done, key, ep_acc, fin_sum, fin_cnt,
@@ -198,7 +217,8 @@ class PPOTrainer:
             return (gae, step['value']), (gae, gae + step['value'])
 
         (_, _), (advantages, returns) = jax.lax.scan(
-            gae_body, (jnp.zeros((e, n)), last_value), traj, reverse=True)
+            gae_body, (self._pvary(jnp.zeros((e, n))), last_value), traj,
+            reverse=True)
 
         # --- flatten batch ------------------------------------------------
         t = cfg.rollout_steps
@@ -247,6 +267,9 @@ class PPOTrainer:
                 mbatch = jax.tree.map(lambda x: x[idx], batch)
                 (_, aux), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, mbatch)
+                if self.axis_name is not None:
+                    grads = jax.lax.pmean(grads, self.axis_name)
+                    aux = jax.lax.pmean(aux, self.axis_name)
                 updates, opt_state = self.tx.update(grads, opt_state,
                                                     params)
                 params = optax.apply_updates(params, updates)
@@ -264,18 +287,27 @@ class PPOTrainer:
             jax.random.split(k_perm, cfg.update_epochs))
 
         la, lv, ent, kl = jax.tree.map(lambda x: x.mean(), auxs)
+        rew_sum = (traj['reward'] * traj['valid']).sum()
+        valid_sum = traj['valid'].sum()
+        if self.axis_name is not None:
+            # mesh-global metrics / counters (keeps them replicated)
+            rew_sum = jax.lax.psum(rew_sum, self.axis_name)
+            valid_sum = jax.lax.psum(valid_sum, self.axis_name)
+            fin_sum = jax.lax.psum(fin_sum, self.axis_name)
+            fin_cnt = jax.lax.psum(fin_cnt, self.axis_name)
+            episodes = ts.episodes + jax.lax.psum(
+                episodes - ts.episodes, self.axis_name)
         metrics = PPOMetrics(
             loss_actor=la, loss_value=lv, entropy=ent, approx_kl=kl,
             mean_reward_per_step_per_agent=(
-                (traj['reward'] * traj['valid']).sum()
-                / jnp.maximum(traj['valid'].sum(), 1)),
+                rew_sum / jnp.maximum(valid_sum, 1)),
             mean_episode_return=jnp.where(
                 fin_cnt > 0, fin_sum / jnp.maximum(fin_cnt, 1), 0.0),
             episodes_collected=fin_cnt,
         )
         ts = ts.replace(params=params, opt_state=opt_state,
                         env_states=env_states, obs=obs,
-                        agent_done=agent_done, key=key,
+                        agent_done=agent_done, key=key_next,
                         update=ts.update + 1, episodes=episodes,
                         ep_return_acc=ep_acc,
                         finished_return_sum=jnp.float32(0.0),

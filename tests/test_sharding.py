@@ -34,6 +34,27 @@ def test_distributed_dqn_episode():
 
 
 @needs_mesh
+def test_distributed_ppo_update():
+    from marlsnake_tpu.algo.ppo_trainer import PPOConfig
+    from marlsnake_tpu.parallel.mesh import make_mesh
+    from marlsnake_tpu.parallel.ppo_dp import DistributedPPO
+
+    mesh = make_mesh(8)
+    cfg = PPOConfig(height=8, width=8, num_snakes=2, snake_length=2,
+                    num_envs=16, rollout_steps=8, num_minibatches=2,
+                    update_epochs=2)
+    dppo = DistributedPPO(cfg, mesh)
+    ts = dppo.init_state()
+    ts, m = dppo.train_update(ts)
+    ts, m = dppo.train_update(ts)
+    assert np.isfinite(float(m.loss_actor))
+    leaf = jax.tree.leaves(ts.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+@needs_mesh
 def test_sharded_env_rollout_matches_single_device():
     """The env program must be sharding-invariant: stepping envs sharded
     over the mesh gives bit-identical results to a single device."""
