@@ -160,3 +160,62 @@ def load_hybrid(result_file: str):
     net = FeedForwardNetwork.create(data['neat_genome'],
                                     data['neat_config'])
     return data['dqn_params'], net
+
+
+def render_winner(winner_pickle: str, env_cfg: Optional[EnvConfig] = None,
+                  episodes: int = 1, render: bool = True,
+                  max_steps: int = 256, video_path: str = 'neat.mp4',
+                  seed: int = 0):
+    """Load a hybrid checkpoint, play and (optionally) render episodes,
+    print the evaluation summary — counterpart of the reference's
+    ``render_winner`` (train_ga.py:309-503)."""
+    import jax.numpy as jnp
+    from marlsnake_tpu.envs.wrappers import GymAdapter, RenderGUI
+    from marlsnake_tpu.envs.env import SnakeEnv
+
+    dqn_params, neat_net = load_hybrid(winner_pickle)
+    env_cfg = env_cfg or EnvConfig.from_reward_dict(
+        DEFAULT_REWARD, height=20, width=20, num_snakes=4, snake_length=5)
+    n = env_cfg.num_snakes
+    env = GymAdapter(SnakeEnv(env_cfg), seed=seed)
+    if render:
+        env = RenderGUI(env, save_video=True, video_path=video_path,
+                        fps=10)
+    net = DQN(num_actions=env_cfg.num_actions)
+    embed = jax.jit(lambda p, x: net.apply(p, x, method=net.features))
+
+    ep_rewards, ep_timelifes = [], []
+    for ep in range(episodes):
+        obs = env.reset()
+        dones = [False] * n
+        rews = np.zeros(n)
+        timelifes = np.zeros(n)
+        step = 0
+        while not all(dones) and step < max_steps:
+            step += 1
+            emb = np.asarray(embed(dqn_params, jnp.asarray(obs)))
+            actions = []
+            for i in range(n):
+                if dones[i]:
+                    actions.append(0)
+                    continue
+                timelifes[i] += 1
+                actions.append(int(np.argmax(neat_net.activate(emb[i]))))
+            if render:
+                env.render()
+            obs, r, dones, _ = env.step(actions)
+            for i in range(n):
+                rews[i] += r[i]
+        ep_rewards.append(rews.mean())
+        ep_timelifes.append(timelifes.mean())
+        print(f'[Eval] Ep {ep + 1}/{episodes} | '
+              f'Mean Reward: {ep_rewards[-1]:.2f} | '
+              f'Mean Timelife: {ep_timelifes[-1]:.1f} steps')
+    if episodes:
+        print('=' * 50)
+        print(f'FINAL EVALUATION OVER {episodes} EPISODES:')
+        print(f'Overall Mean Reward: {np.mean(ep_rewards):.3f}')
+        print(f'Overall Mean Timelife: {np.mean(ep_timelifes):.2f} steps')
+        print('=' * 50)
+    env.close()
+    return float(np.mean(ep_rewards)), float(np.mean(ep_timelifes))

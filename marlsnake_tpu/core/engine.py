@@ -180,42 +180,31 @@ def make_empty_grid(cfg: T.EnvConfig) -> jnp.ndarray:
 # reset
 # ---------------------------------------------------------------------------
 
-def reset(cfg: T.EnvConfig, candidates: jnp.ndarray,
+def reset(cfg: T.EnvConfig, candidates: jnp.ndarray, pool: jnp.ndarray,
           key: jnp.ndarray) -> Tuple[EnvState, jnp.ndarray]:
-    """Pure reset: sample disjoint spawn paths, place fruits, encode obs.
+    """Pure reset: sample a disjoint spawn combo, place fruits, encode obs.
 
     Replaces the reference's per-reset DFS + rejection loop
-    (snake_env.py:131-159,576-589) with device-side sampling from the
-    pre-enumerated candidate table. The candidate-pick distribution is
-    iid-uniform with a retry on any overlap/duplicate, which conditions to
-    the same law as the reference's permutation + rejection.
+    (snake_env.py:131-159,576-589): candidate paths are pre-enumerated once
+    per config, disjoint N-tuples are rejection-sampled ONCE on the host
+    into ``pool`` (spawn.spawn_pool), and reset draws a single pool row —
+    no device-side retry loop, which would otherwise iterate to the max
+    rejection count over the whole vmapped env batch.
 
-    Key schedule (mirrored by the oracle): fold_in(key, 0) -> spawn
-    attempts (fold_in again by attempt index), fold_in(key, 1) -> fruits,
-    fold_in(key, 2) -> stored per-step key.
+    Key schedule (mirrored by the oracle): fold_in(key, 0) -> pool row,
+    fold_in(key, 1) -> fruits, fold_in(key, 2) -> stored per-step key.
     """
     n = cfg.num_snakes
     k = cfg.snake_length
     h, w = cfg.height, cfg.width
-    num_cand = candidates.shape[0]
     k_spawn = jax.random.fold_in(key, 0)
     k_fruit = jax.random.fold_in(key, 1)
     k_state = jax.random.fold_in(key, 2)
 
-    def attempt(i):
-        u = jax.random.uniform(jax.random.fold_in(k_spawn, i), (n,))
-        idx = jnp.minimum((u * num_cand).astype(jnp.int32), num_cand - 1)
-        coords = candidates[idx]  # (N, k, 2)
-        eq = (coords[:, None, :, None, :]
-              == coords[None, :, None, :, :]).all(-1).any((-1, -2))
-        overlap = (eq & ~jnp.eye(n, dtype=bool)).any()
-        return idx, ~overlap
-
-    idx0, ok0 = attempt(jnp.int32(0))
-    _, idx, _ = jax.lax.while_loop(
-        lambda c: ~c[2],
-        lambda c: (c[0] + 1,) + attempt(c[0] + 1),
-        (jnp.int32(0), idx0, ok0))
+    num_pool = pool.shape[0]
+    u = jax.random.uniform(k_spawn, ())
+    row = jnp.minimum((u * num_pool).astype(jnp.int32), num_pool - 1)
+    idx = pool[row]  # (N,) candidate indices, disjoint by construction
 
     coords = candidates[idx]  # (N, k, 2) head-first
     grid = make_empty_grid(cfg)
@@ -239,8 +228,8 @@ def reset(cfg: T.EnvConfig, candidates: jnp.ndarray,
     # (reference Snake.__init__, core/snake.py:62-71). Newest first.
     link_deltas = coords[:, :-1] - coords[:, 1:]  # (N, k-1, 2)
     dirs = delta_to_dir(link_deltas)  # (N, k-1)
-    ring = jnp.zeros((n, cfg.body_capacity), dtype=jnp.int32)
-    ring = ring.at[:, :k - 1].set(dirs)
+    ring = jnp.zeros((n, cfg.body_capacity), dtype=jnp.int8)
+    ring = ring.at[:, :k - 1].set(dirs.astype(jnp.int8))
 
     head = coords[:, 0].astype(jnp.int32)
     tail = coords[:, -1].astype(jnp.int32)

@@ -34,7 +34,8 @@ class EnvState:
     # (N, 2) int32 — head / tail coordinates (row, col)
     head: jnp.ndarray
     tail: jnp.ndarray
-    # (N, CAP) int32 — direction ring buffer (newest at ring_head)
+    # (N, CAP) int8 — direction ring buffer (newest at ring_head);
+    # directions fit in 2 bits, so int8 minimizes HBM traffic
     ring: jnp.ndarray
     # (N,) int32
     ring_head: jnp.ndarray
@@ -90,7 +91,7 @@ def ring_pop_tail(ring: jnp.ndarray, ring_head: jnp.ndarray,
     idx = (ring_head + ring_len - 1) % cap
     # dense row gather (one-hot select beats dynamic gather on TPU)
     onehot = idx[:, None] == jnp.arange(cap)[None, :]
-    popped = jnp.where(onehot, ring, 0).sum(axis=1)
+    popped = jnp.where(onehot, ring.astype(jnp.int32), 0).sum(axis=1)
     new_len = jnp.where(mask, ring_len - 1, ring_len)
     return popped, new_len
 

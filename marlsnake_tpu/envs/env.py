@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from marlsnake_tpu.core import engine
-from marlsnake_tpu.core.spawn import spawn_candidates
+from marlsnake_tpu.core.spawn import spawn_candidates, spawn_pool
 from marlsnake_tpu.core.state import EnvState
 from marlsnake_tpu.core.types import EnvConfig
 
@@ -55,8 +55,12 @@ class SnakeEnv:
                              cfg.map_layout))
         if self.candidates.shape[0] == 0:
             raise ValueError('no valid spawn positions for this config')
+        self.pool = jnp.asarray(
+            spawn_pool(cfg.height, cfg.width, cfg.snake_length,
+                       cfg.num_snakes, map_layout=cfg.map_layout))
         self._reset = jax.jit(
-            functools.partial(engine.reset, cfg, self.candidates))
+            functools.partial(engine.reset, cfg, self.candidates,
+                              self.pool))
         self._step = jax.jit(functools.partial(engine.step, cfg))
 
     # --- pure API ---------------------------------------------------------
@@ -69,7 +73,8 @@ class SnakeEnv:
 
     # Unjitted variants for composing into larger jitted programs.
     def reset_fn(self, key):
-        return engine.reset(self.cfg, self.candidates, key)
+        return engine.reset(self.cfg, self.candidates, self.pool,
+                            key)
 
     def step_fn(self, state, actions):
         return engine.step(self.cfg, state, actions)
@@ -87,6 +92,11 @@ class SnakeEnv:
     def num_actions(self) -> int:
         """Per-agent action count (3 for 'snake', 5 for 'human')."""
         return self.cfg.num_actions
+
+    @property
+    def obs_dtype(self):
+        import numpy as np
+        return np.uint8
 
 
 def make_env(cfg: Optional[EnvConfig] = None, **kwargs) -> SnakeEnv:

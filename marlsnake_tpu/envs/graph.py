@@ -36,7 +36,8 @@ class GraphSnakeEnv(SnakeEnv):
         self._step_g = jax.jit(functools.partial(self._step_impl))
 
     def _reset_impl(self, key):
-        state, obs = engine.reset(self.cfg, self.candidates, key)
+        state, obs = engine.reset(self.cfg, self.candidates,
+                                  self.pool, key)
         proc = ray_features(self.cfg, obs, state.head, state.direction,
                             state.alive)
         return state, proc
@@ -57,3 +58,8 @@ class GraphSnakeEnv(SnakeEnv):
     @property
     def obs_shape(self):
         return (self.cfg.num_snakes, 5, self.cfg.obs_channels)
+
+    @property
+    def obs_dtype(self):
+        import numpy as np
+        return np.float32

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from marlsnake_tpu.core import engine
-from marlsnake_tpu.core.spawn import spawn_candidates
+from marlsnake_tpu.core.spawn import spawn_candidates, spawn_pool
 from marlsnake_tpu.core.state import EnvState
 from marlsnake_tpu.core.types import EnvConfig
 
@@ -33,8 +33,12 @@ def build_vector_fns(cfg: EnvConfig, autoreset: bool = True):
     Both are unjitted so they compose into larger jitted/sharded programs.
     """
     candidates = jnp.asarray(
-        spawn_candidates(cfg.height, cfg.width, cfg.snake_length))
-    reset1 = functools.partial(engine.reset, cfg, candidates)
+        spawn_candidates(cfg.height, cfg.width, cfg.snake_length,
+                         cfg.map_layout))
+    pool = jnp.asarray(
+        spawn_pool(cfg.height, cfg.width, cfg.snake_length,
+                   cfg.num_snakes, map_layout=cfg.map_layout))
+    reset1 = functools.partial(engine.reset, cfg, candidates, pool)
     step1 = functools.partial(engine.step, cfg)
 
     def reset_fn(keys):

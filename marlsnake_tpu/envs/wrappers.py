@@ -74,7 +74,7 @@ class GymAdapter:
         self.action_space = spaces.Discrete(
             self.cfg.num_actions * self.num_snakes, seed=seed)
         self.observation_space = spaces.Box(
-            0, 1, shape=env.obs_shape, dtype=np.uint8, seed=seed)
+            0, 1, shape=env.obs_shape, dtype=env.obs_dtype, seed=seed)
 
     # --- protocol ---------------------------------------------------------
     def seed(self, seed: int = 42):
@@ -169,7 +169,8 @@ class SingleAgent(Wrapper):
         assert env.num_snakes == 1, 'Number of player must be one'
         self.action_space = spaces.Discrete(env.cfg.num_actions)
         self.observation_space = spaces.Box(
-            0, 255, shape=env.observation_space.shape[1:], dtype=np.uint8)
+            0, 255, shape=env.observation_space.shape[1:],
+            dtype=env.observation_space.dtype)
 
     def reset(self, **kwargs):
         return self.env.reset(**kwargs)[0]
@@ -186,7 +187,8 @@ class SingleMultiAgent(Wrapper):
         super().__init__(env)
         self.action_space = spaces.Discrete(env.cfg.num_actions)
         self.observation_space = spaces.Box(
-            0, 255, shape=env.observation_space.shape, dtype=np.uint8)
+            0, 255, shape=env.observation_space.shape,
+            dtype=env.observation_space.dtype)
 
 
 class VectorAdapter:
@@ -292,24 +294,28 @@ def make_snake(num_envs: int = 1, num_snakes: int = 4,
     """
     kwargs.pop('render_mode', None)  # accepted & ignored, like gym.make
 
+    if env_id not in ENV_IDS:
+        raise KeyError(f'unknown env id {env_id!r}; '
+                       f'choose from {sorted(ENV_IDS)}')
+
     def make_one():
-        env = make_env(num_snakes=num_snakes, **kwargs)
-        adapter = GymAdapter(env, seed=seed)
+        adapter = make(env_id, num_snakes=num_snakes, seed=seed, **kwargs)
         return (SingleMultiAgent(adapter) if num_snakes > 1
                 else SingleAgent(adapter))
 
-    if env_id == 'SnakeCoop-v1':
-        kwargs.setdefault('done_mode', 'any')
-    if env_id == 'SnakeGraph-v1':
-        raise NotImplementedError(
-            'use marlsnake_tpu.envs.wrappers.make("SnakeGraph-v1", ...) '
-            'for graph observations')
-
     if num_envs > 1:
+        if ENV_IDS[env_id]['graph']:
+            raise NotImplementedError(
+                'vectorized graph observations: use build_vector_fns + '
+                'ops.rays.ray_features directly')
         reward_dict = kwargs.pop('reward_dict', None)
         kwargs.setdefault('num_fruits', -1)
-        cfg = EnvConfig.from_reward_dict(reward_dict,
-                                         num_snakes=num_snakes, **kwargs)
+        if 'map' in kwargs:
+            from marlsnake_tpu.core.maps import load_layout
+            kwargs['map_layout'] = load_layout(kwargs.pop('map'))
+        cfg = EnvConfig.from_reward_dict(
+            reward_dict, num_snakes=num_snakes,
+            done_mode=ENV_IDS[env_id]['done_mode'], **kwargs)
         env = VectorAdapter(cfg, num_envs, seed=seed)
         obs_shape = env.observation_space.shape
         action_n = cfg.num_actions

@@ -113,20 +113,17 @@ class OracleEnv:
 
         if self.rng_mode == 'jax':
             import jax
+            from marlsnake_tpu.core.spawn import spawn_pool
             assert key is not None
             k_spawn = jax.random.fold_in(key, 0)
             k_fruit = jax.random.fold_in(key, 1)
             self._key = jax.random.fold_in(key, 2)
-            num_cand = len(self.candidates)
-            i = 0
-            while True:
-                u = self._jax_uniform(jax.random.fold_in(k_spawn, i), (n,))
-                idx = np.minimum((u * num_cand).astype(np.int32),
-                                 num_cand - 1)
-                chosen = [self.candidates[j] for j in idx]
-                if self._disjoint(chosen):
-                    break
-                i += 1
+            pool = spawn_pool(cfg.height, cfg.width, cfg.snake_length,
+                              n, map_layout=cfg.map_layout)
+            u = float(self._jax_uniform(k_spawn, ()))
+            row = min(int(np.float32(u) * len(pool)), len(pool) - 1)
+            chosen = [self.candidates[j] for j in pool[row]]
+            assert self._disjoint(chosen)
         else:
             if seed is not None:
                 np.random.seed(seed)

@@ -73,7 +73,8 @@ def run_pair(cfg, seed, steps=120):
                                           info_o['rank'])
             np.testing.assert_allclose(
                 np.asarray(out.episode_scores),
-                info_o['episode_scores'].astype(np.float32), atol=1e-4)
+                info_o['episode_scores'].astype(np.float32), atol=1e-4,
+                rtol=1e-5)
             np.testing.assert_allclose(
                 np.asarray(out.episode_steps),
                 info_o['episode_steps'].astype(np.float32), atol=0)
@@ -88,7 +89,8 @@ def run_pair(cfg, seed, steps=120):
         # engine's post-done stat reset must mirror the oracle's
         np.testing.assert_allclose(np.asarray(state.epi_scores),
                                    oracle.epi_scores.astype(np.float32),
-                                   atol=1e-4, err_msg=f'epi_scores t={t}')
+                                   atol=1e-4, rtol=1e-5,
+                                   err_msg=f'epi_scores t={t}')
 
 
 @pytest.mark.parametrize('ci', range(len(CONFIGS)))
