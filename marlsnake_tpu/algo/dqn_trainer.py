@@ -22,7 +22,6 @@ envs; the replay and learner are shared.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 import time
 from typing import Any, Optional, Tuple

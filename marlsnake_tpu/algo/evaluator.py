@@ -18,9 +18,6 @@ batches for batched evaluation.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

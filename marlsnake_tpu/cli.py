@@ -15,7 +15,6 @@ Here one CLI covers the whole stack::
 from __future__ import annotations
 
 import argparse
-import sys
 
 
 def _env_args(p: argparse.ArgumentParser):
@@ -144,8 +143,6 @@ def main(argv=None):
 
     elif args.mode == 'battle':
         import os
-        import jax
-        import jax.numpy as jnp
         from marlsnake_tpu.algo.battle import BattleArena
         from marlsnake_tpu.algo.opponents import (GreedyAgent, NEATAgent,
                                                   RandomAgent)

@@ -12,7 +12,7 @@ is reset and the RESET observation is returned in place of the terminal one
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

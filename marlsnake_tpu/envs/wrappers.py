@@ -24,7 +24,7 @@ import numpy as np
 
 from marlsnake_tpu.core import render as R
 from marlsnake_tpu.core.types import EnvConfig
-from marlsnake_tpu.envs.env import SnakeEnv, make_env
+from marlsnake_tpu.envs.env import SnakeEnv
 from marlsnake_tpu.envs.graph import GraphSnakeEnv
 from marlsnake_tpu.envs.vector import VectorSnakeEnv
 from marlsnake_tpu.utils import spaces
