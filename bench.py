@@ -47,11 +47,14 @@ def build_rollout(cfg: EnvConfig, num_envs: int, num_steps: int):
             actions = jax.random.randint(
                 k, (num_envs, cfg.num_snakes), 0, cfg.num_actions)
             states, out = step_fn(states, actions)
-            return (states, key), out.reward.sum()
+            # consume the observations so the full obs pipeline is part
+            # of the measurement (a policy would read them every step)
+            obs_checksum = out.obs.astype(jnp.int32).sum()
+            return (states, key), (out.reward.sum(), obs_checksum)
 
-        (states, key), rews = jax.lax.scan(
+        (states, key), (rews, checks) = jax.lax.scan(
             body, (states, key), length=num_steps)
-        return states, rews.sum()
+        return states, rews.sum() + checks.sum().astype(jnp.float32)
 
     return init, rollout
 

@@ -236,8 +236,15 @@ def reset(cfg: T.EnvConfig, candidates: jnp.ndarray, pool: jnp.ndarray,
     alive = jnp.ones((n,), dtype=bool)
 
     frame = encode_frame(cfg, grid, head, alive)
-    obs_stack = jnp.broadcast_to(
-        frame[None], (cfg.frame_stack,) + frame.shape)
+    if cfg.frame_stack == 1:
+        # no history to carry: skip the obs_stack state entirely (saves a
+        # full obs-sized read+write per step in scanned rollouts)
+        obs_stack = jnp.zeros((0,) + frame.shape, jnp.uint8)
+        obs = frame
+    else:
+        obs_stack = jnp.broadcast_to(
+            frame[None], (cfg.frame_stack,) + frame.shape)
+        obs = stack_to_obs(obs_stack)
 
     zeros_f = jnp.zeros((n,), dtype=jnp.float32)
     state = EnvState(
@@ -255,7 +262,7 @@ def reset(cfg: T.EnvConfig, candidates: jnp.ndarray, pool: jnp.ndarray,
         obs_stack=obs_stack,
         key=k_state,
     )
-    return state, stack_to_obs(obs_stack)
+    return state, obs
 
 
 # ---------------------------------------------------------------------------
@@ -375,8 +382,13 @@ def step(cfg: T.EnvConfig, state: EnvState,
 
     # --- Phase 8: obs ---
     frame = encode_frame(cfg, grid, new_head, alive1)
-    obs_stack = jnp.concatenate([state.obs_stack[1:], frame[None]], axis=0)
-    obs = stack_to_obs(obs_stack)
+    if cfg.frame_stack == 1:
+        obs_stack = state.obs_stack  # (0, ...) placeholder
+        obs = frame
+    else:
+        obs_stack = jnp.concatenate([state.obs_stack[1:], frame[None]],
+                                    axis=0)
+        obs = stack_to_obs(obs_stack)
 
     # --- Phase 9: stats / timeout / done / rank ---
     dones_pre = ~alive1
