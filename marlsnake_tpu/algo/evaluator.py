@@ -155,6 +155,66 @@ def masked_actions(obs: jnp.ndarray, q: jnp.ndarray, cur_dirs: jnp.ndarray,
     return acts, dirs
 
 
+def evaluate_batch(net, params, cfg, num_envs: int = 256,
+                   max_steps: int = 512, flood_limit: int = 60,
+                   key=None):
+    """Fully on-device batched evaluation with safety masking.
+
+    The reference evaluates one env at a time with a Python frame loop
+    (train_dqn.py:582-676); here ``num_envs`` episodes run simultaneously
+    as one jitted ``lax.scan`` — masked policy, env step, and per-env
+    freeze-on-done included. Returns (mean_reward, mean_timelife) averaged
+    over envs and snakes.
+    """
+    from marlsnake_tpu.envs.vector import build_vector_fns
+
+    n = cfg.num_snakes
+    reset_fn, step_fn = build_vector_fns(cfg, autoreset=False)
+    if key is None:
+        key = jax.random.key(0)
+
+    def policy(params, obs, dirs, active):
+        e = obs.shape[0]
+        q = net.apply(params, obs.reshape((e * n,) + obs.shape[2:]))
+        q = q.reshape(e, n, -1)
+        return jax.vmap(
+            lambda o, qq, d, a: masked_actions(o, qq, d, a, flood_limit)
+        )(obs, q, dirs, active)
+
+    @jax.jit
+    def run(key):
+        states, obs = reset_fn(jax.random.split(key, num_envs))
+
+        def body(carry, _):
+            states, obs, dones, dirs, rew_acc, life_acc = carry
+            active = ~dones
+            acts, dirs = policy(params, obs, dirs, active)
+            new_states, out = step_fn(states, acts)
+            frozen = dones.all(-1)
+
+            def sel(new, old):
+                f = frozen.reshape((-1,) + (1,) * (new.ndim - 1))
+                return jnp.where(f, old, new)
+
+            states = jax.tree.map(sel, new_states, states)
+            obs = sel(out.obs, obs)
+            rew_acc = rew_acc + jnp.where(active, out.reward, 0.0)
+            life_acc = life_acc + active.astype(jnp.float32)
+            dones = dones | out.done
+            return (states, obs, dones, dirs, rew_acc, life_acc), None
+
+        init = (states, obs, jnp.zeros((num_envs, n), bool),
+                jnp.zeros((num_envs, n, 2), jnp.int32),
+                jnp.zeros((num_envs, n), jnp.float32),
+                jnp.zeros((num_envs, n), jnp.float32))
+        (states, obs, dones, dirs, rew, life), _ = jax.lax.scan(
+            init=init, f=body, xs=None, length=max_steps)
+        return rew.mean(), life.mean()
+
+    r, t = run(key)
+    return float(r), float(t)
+
+
 class DQNEvaluator:
     """Episode evaluator with safety masking (train_dqn.py:582-676)."""
 

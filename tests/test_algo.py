@@ -141,3 +141,16 @@ def test_neat_evolution_improves_xor():
     eval_fn([(g.key, g) for g in first_gen.genomes], cfg)
     best0 = max(g.fitness for g in first_gen.genomes)
     assert best.fitness >= best0  # evolution never regresses the champion
+
+
+def test_evaluate_batch_runs():
+    from marlsnake_tpu.algo.evaluator import evaluate_batch
+    from marlsnake_tpu.models.dqn import DQN
+    from marlsnake_tpu.core.types import EnvConfig
+    import jax.numpy as jnp
+    cfg = EnvConfig(height=8, width=8, num_snakes=2, snake_length=2)
+    net = DQN(num_actions=3)
+    params = net.init(jax.random.key(0),
+                      jnp.zeros((1, 8, 8, 8), jnp.uint8))
+    r, t = evaluate_batch(net, params, cfg, num_envs=4, max_steps=16)
+    assert np.isfinite(r) and 0 < t <= 16
