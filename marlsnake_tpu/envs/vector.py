@@ -57,6 +57,8 @@ def build_vector_fns(cfg: EnvConfig, autoreset: bool = True):
             done = out.done_all  # (B,)
 
             def sel(new, old):
+                if new.size == 0:  # fs=1 obs_stack placeholder
+                    return old
                 d = done.reshape((-1,) + (1,) * (new.ndim - 1))
                 return jnp.where(d, new, old)
 

@@ -15,6 +15,22 @@ import os
 from typing import Any
 
 import jax
+import numpy as np
+
+
+def _pack_zero_size(tree: Any) -> Any:
+    """Orbax refuses zero-size arrays; swap them for a 1-byte sentinel
+    (e.g. the engine's frame_stack=1 obs_stack placeholder)."""
+    return jax.tree.map(
+        lambda x: np.zeros((1,), np.uint8)
+        if getattr(x, 'size', 1) == 0 else x, tree)
+
+
+def _unpack_zero_size(restored: Any, template: Any) -> Any:
+    import jax.numpy as jnp
+    return jax.tree.map(
+        lambda r, t: jnp.zeros(t.shape, t.dtype)
+        if getattr(t, 'size', 1) == 0 else r, restored, template)
 
 
 def save(path: str, payload: Any, force: bool = True) -> None:
@@ -22,7 +38,7 @@ def save(path: str, payload: Any, force: bool = True) -> None:
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(payload), force=force)
+    ckptr.save(path, _pack_zero_size(jax.device_get(payload)), force=force)
     ckptr.wait_until_finished()
 
 
@@ -32,7 +48,9 @@ def restore(path: str, template: Any) -> Any:
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, jax.device_get(template))
+    restored = ckptr.restore(
+        path, _pack_zero_size(jax.device_get(template)))
+    return _unpack_zero_size(restored, template)
 
 
 class AsyncCheckpointer:
@@ -45,7 +63,8 @@ class AsyncCheckpointer:
             ocp.StandardCheckpointHandler())
 
     def save(self, path: str, payload: Any, force: bool = True) -> None:
-        self._ckptr.save(os.path.abspath(path), jax.device_get(payload),
+        self._ckptr.save(os.path.abspath(path),
+                         _pack_zero_size(jax.device_get(payload)),
                          force=force)
 
     def wait(self) -> None:

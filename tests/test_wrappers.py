@@ -94,3 +94,15 @@ def test_gif_save(tmp_path):
 def test_infeasible_config_rejected():
     with pytest.raises(ValueError):
         make('Snake-v1', num_snakes=4, height=4, width=4, snake_length=3)
+
+
+def test_gif_save_fileobj():
+    env = make('Snake-v1', num_snakes=1, height=10, width=10,
+               num_fruits=4, seed=2)
+    env.reset()
+    for _ in range(5):
+        env.render('gif')
+        env.step([0])
+    with io.BytesIO() as fileobj:
+        env.save_gif(fileobj)
+        assert fileobj.getbuffer().nbytes > 0
