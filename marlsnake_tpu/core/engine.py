@@ -119,22 +119,17 @@ def encode_frame(cfg: T.EnvConfig, grid: jnp.ndarray, head: jnp.ndarray,
     n = cfg.num_snakes
     t = grid % 10
     owner = grid // 10
-    wall = (t == T.WALL)
-    fruit = (t == T.FRUIT)
-    is_head = t == T.HEAD
-    is_body = t == T.BODY
-    is_tail = t == T.TAIL
-    ids = jnp.arange(n).reshape(n, 1, 1)
-    mine = owner == ids  # (N, H, W)
-    bc = jnp.broadcast_to
-    shape = (n,) + grid.shape
-    frame = jnp.stack([
-        bc(wall, shape), bc(fruit, shape),
-        bc(is_head, shape) & ~mine, bc(is_body, shape) & ~mine,
-        bc(is_tail, shape) & ~mine,
-        bc(is_head, shape) & mine, bc(is_body, shape) & mine,
-        bc(is_tail, shape) & mine,
-    ], axis=-1).astype(jnp.uint8)
+    ids = jnp.arange(n).reshape(n, 1, 1, 1)
+    mine = owner[None, ..., None] == ids        # (N, H, W, 1)
+    tt = t[None, ..., None]                     # (1, H, W, 1)
+    # channel-index arithmetic instead of an 8-way stack/concatenate —
+    # one fused elementwise kernel, no concatenate op on the hot path:
+    # ch 0 wall, 1 fruit, 2..4 other head/body/tail, 5..7 my head/body/tail
+    c = jnp.arange(T.FEATURE_CHANNEL).reshape(1, 1, 1, -1)
+    env_hit = (c <= 1) & (tt == c + 1)          # wall / fruit
+    snake_part = (tt >= T.HEAD) & ((c - 2) % 3 == tt - T.HEAD)
+    snake_hit = snake_part & ((c >= 5) == mine) & (c >= 2)
+    frame = (env_hit | snake_hit).astype(jnp.uint8)
 
     if cfg.vision_range:
         v = cfg.vision_range

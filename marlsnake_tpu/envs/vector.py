@@ -49,25 +49,25 @@ def build_vector_fns(cfg: EnvConfig, autoreset: bool = True):
         if not autoreset:
             return states, out
 
-        def do_resets(operand):
-            states, out = operand
-            rkeys = jax.vmap(
-                lambda k: jax.random.fold_in(k, _RESET_SALT))(states.key)
-            new_states, new_obs = jax.vmap(reset1)(rkeys)
-            done = out.done_all  # (B,)
+        # Unconditional select (no lax.cond): at batch sizes where this
+        # path matters some env finishes nearly every step, so the branch
+        # would run anyway — and without the cond the reset computation
+        # fuses with the step kernels (the cond alone cost ~1.7ms/step at
+        # 4096 envs in device traces).
+        rkeys = jax.vmap(
+            lambda k: jax.random.fold_in(k, _RESET_SALT))(states.key)
+        new_states, new_obs = jax.vmap(reset1)(rkeys)
+        done = out.done_all  # (B,)
 
-            def sel(new, old):
-                if new.size == 0:  # fs=1 obs_stack placeholder
-                    return old
-                d = done.reshape((-1,) + (1,) * (new.ndim - 1))
-                return jnp.where(d, new, old)
+        def sel(new, old):
+            if new.size == 0:  # fs=1 obs_stack placeholder
+                return old
+            d = done.reshape((-1,) + (1,) * (new.ndim - 1))
+            return jnp.where(d, new, old)
 
-            states = jax.tree.map(sel, new_states, states)
-            out = out.replace(obs=sel(new_obs, out.obs))
-            return states, out
-
-        return jax.lax.cond(out.done_all.any(), do_resets,
-                            lambda operand: operand, (states, out))
+        states = jax.tree.map(sel, new_states, states)
+        out = out.replace(obs=sel(new_obs, out.obs))
+        return states, out
 
     return reset_fn, step_fn
 
