@@ -62,6 +62,35 @@ def dqn_params_from_torch(state_dict: Dict, grid_hw, in_channels: int,
     return {'params': params}
 
 
+def ppo_params_from_torch(state_dict: Dict):
+    """Convert the reference's shipped PPO checkpoint
+    (``marlenv/runs/ppo/.../best_model.pt`` — ``CNN_feature.0/.3`` convs,
+    ``actor.0/.2`` and ``critic.0/.2`` linears) into flax ActorCritic
+    params. The conv/linear weights map exactly; the reference's pooling
+    arrangement between the convs is lost with its source module
+    (SURVEY.md C35), so functional equivalence of the conv trunk is
+    best-effort — head weights are exact.
+    """
+    sd = {k.replace('module.', ''): np.asarray(
+        v.detach().cpu().numpy() if hasattr(v, 'detach') else v)
+        for k, v in state_dict.items()}
+    params = {
+        'conv1': {'kernel': _conv(sd['CNN_feature.0.weight']),
+                  'bias': sd['CNN_feature.0.bias']},
+        'conv2': {'kernel': _conv(sd['CNN_feature.3.weight']),
+                  'bias': sd['CNN_feature.3.bias']},
+        'actor_fc1': {'kernel': _dense(sd['actor.0.weight']),
+                      'bias': sd['actor.0.bias']},
+        'actor_fc2': {'kernel': _dense(sd['actor.2.weight']),
+                      'bias': sd['actor.2.bias']},
+        'critic_fc1': {'kernel': _dense(sd['critic.0.weight']),
+                       'bias': sd['critic.0.bias']},
+        'critic_fc2': {'kernel': _dense(sd['critic.2.weight']),
+                       'bias': sd['critic.2.bias']},
+    }
+    return {'params': params}
+
+
 def dqn_params_to_torch(params: Dict, grid_hw) -> Dict:
     """Inverse of :func:`dqn_params_from_torch` (flax -> torch layout)."""
     p = params['params'] if 'params' in params else params

@@ -84,3 +84,21 @@ def test_torch_interop_equivalence():
     got = np.asarray(net.apply(
         jax.tree.map(jnp.asarray, params), jnp.asarray(obs)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_ppo_interop_loads_reference_checkpoint():
+    torch = pytest.importorskip('torch')
+    import os
+    ckpt_path = ('/root/reference/marlenv/runs/ppo/20251228-155100/'
+                 'best_model.pt')
+    if not os.path.exists(ckpt_path):
+        pytest.skip('reference PPO checkpoint not available')
+    from marlsnake_tpu.models.torch_interop import ppo_params_from_torch
+    ckpt = torch.load(ckpt_path, map_location='cpu', weights_only=False)
+    params = jax.tree.map(jnp.asarray,
+                          ppo_params_from_torch(ckpt['model_state_dict']))
+    net = ActorCritic(num_actions=3)
+    obs = jnp.zeros((2, 20, 20, 8), jnp.uint8)
+    logits, value = net.apply(params, obs)
+    assert logits.shape == (2, 3) and value.shape == (2,)
+    assert np.isfinite(np.asarray(logits)).all()
