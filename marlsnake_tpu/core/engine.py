@@ -131,19 +131,45 @@ def encode_frame(cfg: T.EnvConfig, grid: jnp.ndarray, head: jnp.ndarray,
     snake_hit = snake_part & ((c >= 5) == mine) & (c >= 2)
     frame = (env_hit | snake_hit).astype(jnp.uint8)
 
-    if cfg.vision_range:
-        v = cfg.vision_range
-        padded = jnp.pad(frame, ((0, 0), (v, v), (v, v), (0, 0)))
-        # Dead snakes have an all-zero my-head channel; the reference's
-        # argmax then anchors the crop at (0, 0) (snake_env.py:497-517).
-        center = jnp.where(alive[:, None], head, 0)
-
-        def crop_one(p, c):
-            return jax.lax.dynamic_slice(
-                p, (c[0], c[1], 0), (2 * v + 1, 2 * v + 1, T.FEATURE_CHANNEL))
-
-        frame = jax.vmap(crop_one)(padded, center)
     return frame
+
+
+def encode_frame_cropped(cfg: T.EnvConfig, grid: jnp.ndarray,
+                         head: jnp.ndarray,
+                         alive: jnp.ndarray) -> jnp.ndarray:
+    """Vision-range observation encoded DIRECTLY from the grid window.
+
+    Instead of encoding the full grid and cropping with per-snake
+    dynamic_slice (25x slower on TPU — per-lane slicing defeats
+    vectorization), the (2v+1)^2 window of raw cells is gathered densely
+    with one-hot row/column selectors and encoded in place. Out-of-grid
+    cells select nothing -> EMPTY -> all-zero channels, identical to the
+    reference's zero-padded crop (snake_env.py:497-517), including the
+    dead-snake (0, 0) anchor quirk.
+    """
+    n = cfg.num_snakes
+    h, w = cfg.height, cfg.width
+    v = cfg.vision_range
+    v2 = 2 * v + 1
+    center = jnp.where(alive[:, None], head, 0)
+    ry = center[:, 0, None] + jnp.arange(v2) - v   # (N, v2) source rows
+    cx = center[:, 1, None] + jnp.arange(v2) - v   # (N, v2) source cols
+    ry_oh = (ry[:, :, None] == jnp.arange(h)).astype(grid.dtype)  # (N,v2,H)
+    cx_oh = (cx[:, :, None] == jnp.arange(w)).astype(grid.dtype)  # (N,v2,W)
+    # win[n, y, x] = grid[ry[n, y], cx[n, x]] (0 when out of bounds)
+    tmp = (ry_oh[:, :, :, None] * grid[None, None, :, :]).sum(2)  # (N,v2,W)
+    win = (cx_oh[:, None, :, :] * tmp[:, :, None, :]).sum(3)      # (N,v2,v2)
+
+    t = win % 10
+    owner = win // 10
+    ids = jnp.arange(n).reshape(n, 1, 1, 1)
+    mine = owner[..., None] == ids
+    tt = t[..., None]
+    c = jnp.arange(T.FEATURE_CHANNEL).reshape(1, 1, 1, -1)
+    env_hit = (c <= 1) & (tt == c + 1)
+    snake_part = (tt >= T.HEAD) & ((c - 2) % 3 == tt - T.HEAD)
+    snake_hit = snake_part & ((c >= 5) == mine) & (c >= 2)
+    return (env_hit | snake_hit).astype(jnp.uint8)
 
 
 def stack_to_obs(obs_stack: jnp.ndarray) -> jnp.ndarray:
@@ -230,7 +256,8 @@ def reset(cfg: T.EnvConfig, candidates: jnp.ndarray, pool: jnp.ndarray,
     tail = coords[:, -1].astype(jnp.int32)
     alive = jnp.ones((n,), dtype=bool)
 
-    frame = encode_frame(cfg, grid, head, alive)
+    encode = (encode_frame_cropped if cfg.vision_range else encode_frame)
+    frame = encode(cfg, grid, head, alive)
     if cfg.frame_stack == 1:
         # no history to carry: skip the obs_stack state entirely (saves a
         # full obs-sized read+write per step in scanned rollouts)
@@ -376,7 +403,8 @@ def step(cfg: T.EnvConfig, state: EnvState,
     grid = place_fruits(grid, u, fruit_taken)
 
     # --- Phase 8: obs ---
-    frame = encode_frame(cfg, grid, new_head, alive1)
+    encode = (encode_frame_cropped if cfg.vision_range else encode_frame)
+    frame = encode(cfg, grid, new_head, alive1)
     if cfg.frame_stack == 1:
         obs_stack = state.obs_stack  # (0, ...) placeholder
         obs = frame
