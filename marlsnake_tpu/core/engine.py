@@ -201,9 +201,10 @@ def make_empty_grid(cfg: T.EnvConfig) -> jnp.ndarray:
 # reset
 # ---------------------------------------------------------------------------
 
-def reset(cfg: T.EnvConfig, candidates: jnp.ndarray, pool: jnp.ndarray,
-          key: jnp.ndarray) -> Tuple[EnvState, jnp.ndarray]:
-    """Pure reset: sample a disjoint spawn combo, place fruits, encode obs.
+def _reset_core(cfg: T.EnvConfig, candidates: jnp.ndarray,
+                pool: jnp.ndarray, key: jnp.ndarray) -> EnvState:
+    """Reset WITHOUT observation encoding (obs_stack left as the empty
+    placeholder); see :func:`reset` for the public API.
 
     Replaces the reference's per-reset DFS + rejection loop
     (snake_env.py:131-159,576-589): candidate paths are pre-enumerated once
@@ -256,20 +257,9 @@ def reset(cfg: T.EnvConfig, candidates: jnp.ndarray, pool: jnp.ndarray,
     tail = coords[:, -1].astype(jnp.int32)
     alive = jnp.ones((n,), dtype=bool)
 
-    encode = (encode_frame_cropped if cfg.vision_range else encode_frame)
-    frame = encode(cfg, grid, head, alive)
-    if cfg.frame_stack == 1:
-        # no history to carry: skip the obs_stack state entirely (saves a
-        # full obs-sized read+write per step in scanned rollouts)
-        obs_stack = jnp.zeros((0,) + frame.shape, jnp.uint8)
-        obs = frame
-    else:
-        obs_stack = jnp.broadcast_to(
-            frame[None], (cfg.frame_stack,) + frame.shape)
-        obs = stack_to_obs(obs_stack)
-
     zeros_f = jnp.zeros((n,), dtype=jnp.float32)
-    state = EnvState(
+    obs_shape = (n, cfg.obs_height, cfg.obs_width, T.FEATURE_CHANNEL)
+    return EnvState(
         grid=grid,
         direction=dirs[:, 0],
         head=head, tail=tail,
@@ -281,9 +271,48 @@ def reset(cfg: T.EnvConfig, candidates: jnp.ndarray, pool: jnp.ndarray,
         epi_scores=zeros_f, epi_steps=zeros_f,
         epi_fruits=zeros_f, epi_kills=zeros_f,
         episode_length=jnp.int32(0),
-        obs_stack=obs_stack,
+        obs_stack=jnp.zeros((0,) + obs_shape, jnp.uint8),
         key=k_state,
     )
+
+
+def _encode_and_stack(cfg: T.EnvConfig, state: EnvState, old_stack,
+                      reset_mode):
+    """Encode the current frame and derive (obs, obs_stack).
+
+    ``reset_mode`` may be True/False (static) or a traced bool scalar —
+    the latter selects per element between the reset behavior (stack
+    filled with the fresh frame, snake_env.py:444-459) and the step
+    behavior (rolled stack).
+    """
+    encode = (encode_frame_cropped if cfg.vision_range else encode_frame)
+    frame = encode(cfg, state.grid, state.head, state.alive)
+    if cfg.frame_stack == 1:
+        # no history to carry: obs_stack stays the carried placeholder
+        # (returning a fresh constant would strip its sharding/vma)
+        return frame, None
+    fresh = jnp.broadcast_to(frame[None],
+                             (cfg.frame_stack,) + frame.shape)
+    if reset_mode is True:
+        stack = fresh
+    else:
+        rolled = jnp.concatenate([old_stack[1:], frame[None]], axis=0)
+        stack = rolled if reset_mode is False else             jnp.where(reset_mode, fresh, rolled)
+    return stack_to_obs(stack), stack
+
+
+def reset(cfg: T.EnvConfig, candidates: jnp.ndarray, pool: jnp.ndarray,
+          key: jnp.ndarray) -> Tuple[EnvState, jnp.ndarray]:
+    """Pure reset: sample a disjoint spawn combo, place fruits, encode obs.
+
+    Replaces the reference's per-reset DFS + rejection loop
+    (snake_env.py:131-159,576-589); see ``_reset_core`` for the key
+    schedule (mirrored by the oracle).
+    """
+    state = _reset_core(cfg, candidates, pool, key)
+    obs, obs_stack = _encode_and_stack(cfg, state, None, True)
+    if obs_stack is not None:
+        state = state.replace(obs_stack=obs_stack)
     return state, obs
 
 
@@ -291,9 +320,11 @@ def reset(cfg: T.EnvConfig, candidates: jnp.ndarray, pool: jnp.ndarray,
 # step
 # ---------------------------------------------------------------------------
 
-def step(cfg: T.EnvConfig, state: EnvState,
-         actions: jnp.ndarray) -> Tuple[EnvState, StepOutput]:
-    """One simultaneous-move step for all snakes (single env; vmap outside)."""
+def _step_core(cfg: T.EnvConfig, state: EnvState,
+               actions: jnp.ndarray) -> Tuple[EnvState, StepOutput]:
+    """Step dynamics WITHOUT observation encoding (out.obs is an empty
+    placeholder; obs_stack passes through). See :func:`step` /
+    :func:`step_autoreset` for the public APIs."""
     n = cfg.num_snakes
     h, w = cfg.height, cfg.width
     hw = h * w
@@ -402,18 +433,7 @@ def step(cfg: T.EnvConfig, state: EnvState,
     u = jax.random.uniform(k_fruit, (n,))
     grid = place_fruits(grid, u, fruit_taken)
 
-    # --- Phase 8: obs ---
-    encode = (encode_frame_cropped if cfg.vision_range else encode_frame)
-    frame = encode(cfg, grid, new_head, alive1)
-    if cfg.frame_stack == 1:
-        obs_stack = state.obs_stack  # (0, ...) placeholder
-        obs = frame
-    else:
-        obs_stack = jnp.concatenate([state.obs_stack[1:], frame[None]],
-                                    axis=0)
-        obs = stack_to_obs(obs_stack)
-
-    # --- Phase 9: stats / timeout / done / rank ---
+    # --- Phase 8: stats / timeout / done / rank ---
     dones_pre = ~alive1
     mask = 1.0 - dones_pre.astype(jnp.float32)
     epi_scores = state.epi_scores + mask * rew
@@ -436,7 +456,7 @@ def step(cfg: T.EnvConfig, state: EnvState,
     rank = 1 + (epi_scores[None, :] > epi_scores[:, None]).sum(1)
 
     out = StepOutput(
-        obs=obs, reward=rew, done=dones_out,
+        obs=jnp.zeros((0,), jnp.uint8), reward=rew, done=dones_out,
         rank=rank.astype(jnp.int32),
         episode_scores=epi_scores, episode_steps=epi_steps,
         episode_fruits=epi_fruits, episode_kills=epi_kills,
@@ -453,7 +473,47 @@ def step(cfg: T.EnvConfig, state: EnvState,
         epi_fruits=jnp.where(done_all, zero, epi_fruits),
         epi_kills=jnp.where(done_all, zero, epi_kills),
         episode_length=episode_length,
-        obs_stack=obs_stack,
         key=key,
     )
     return new_state, out
+
+
+def step(cfg: T.EnvConfig, state: EnvState,
+         actions: jnp.ndarray) -> Tuple[EnvState, StepOutput]:
+    """One simultaneous-move step for all snakes (single env; vmap
+    outside)."""
+    new_state, out = _step_core(cfg, state, actions)
+    obs, obs_stack = _encode_and_stack(cfg, new_state, state.obs_stack,
+                                       False)
+    if obs_stack is not None:
+        new_state = new_state.replace(obs_stack=obs_stack)
+    return new_state, out.replace(obs=obs)
+
+
+def step_autoreset(cfg: T.EnvConfig, candidates: jnp.ndarray,
+                   pool: jnp.ndarray, state: EnvState, actions: jnp.ndarray,
+                   reset_salt: int = 0x5EED
+                   ) -> Tuple[EnvState, StepOutput]:
+    """Step with fused auto-reset (single env; vmap outside).
+
+    When the episode-done predicate fires, the returned state and obs are
+    those of a freshly-reset env while rewards/dones/info still describe
+    the finished step — the contract of the reference's fork-worker
+    auto-reset (wrappers.py:141-143). Fusing the reset into the step lets
+    the observation be encoded ONCE from the post-select state instead of
+    once per branch.
+    """
+    new_state, out = _step_core(cfg, state, actions)
+    rkey = jax.random.fold_in(new_state.key, reset_salt)
+    r_state = _reset_core(cfg, candidates, pool, rkey)
+    done = out.done_all
+
+    # select every field except obs_stack (handled by _encode_and_stack)
+    sel_state = jax.tree.map(
+        lambda r, snew: jnp.where(done, r, snew),
+        r_state.replace(obs_stack=new_state.obs_stack), new_state)
+    obs, obs_stack = _encode_and_stack(cfg, sel_state, state.obs_stack,
+                                       done)
+    if obs_stack is not None:
+        sel_state = sel_state.replace(obs_stack=obs_stack)
+    return sel_state, out.replace(obs=obs)

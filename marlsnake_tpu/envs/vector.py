@@ -39,35 +39,22 @@ def build_vector_fns(cfg: EnvConfig, autoreset: bool = True):
         spawn_pool(cfg.height, cfg.width, cfg.snake_length,
                    cfg.num_snakes, map_layout=cfg.map_layout))
     reset1 = functools.partial(engine.reset, cfg, candidates, pool)
-    step1 = functools.partial(engine.step, cfg)
+    if autoreset:
+        # Fused step+reset with an unconditional per-env select: at batch
+        # sizes where this path matters some env finishes nearly every
+        # step, so a lax.cond would take the reset branch anyway while
+        # adding barriers (~1.7ms/step at 4096 envs in device traces) and
+        # a second obs encode.
+        step1 = functools.partial(engine.step_autoreset, cfg, candidates,
+                                  pool, reset_salt=_RESET_SALT)
+    else:
+        step1 = functools.partial(engine.step, cfg)
 
     def reset_fn(keys):
         return jax.vmap(reset1)(keys)
 
     def step_fn(states, actions):
-        states, out = jax.vmap(step1)(states, actions)
-        if not autoreset:
-            return states, out
-
-        # Unconditional select (no lax.cond): at batch sizes where this
-        # path matters some env finishes nearly every step, so the branch
-        # would run anyway — and without the cond the reset computation
-        # fuses with the step kernels (the cond alone cost ~1.7ms/step at
-        # 4096 envs in device traces).
-        rkeys = jax.vmap(
-            lambda k: jax.random.fold_in(k, _RESET_SALT))(states.key)
-        new_states, new_obs = jax.vmap(reset1)(rkeys)
-        done = out.done_all  # (B,)
-
-        def sel(new, old):
-            if new.size == 0:  # fs=1 obs_stack placeholder
-                return old
-            d = done.reshape((-1,) + (1,) * (new.ndim - 1))
-            return jnp.where(d, new, old)
-
-        states = jax.tree.map(sel, new_states, states)
-        out = out.replace(obs=sel(new_obs, out.obs))
-        return states, out
+        return jax.vmap(step1)(states, actions)
 
     return reset_fn, step_fn
 
