@@ -1,0 +1,469 @@
+"""Hand-fused Pallas TPU kernel for the full step+autoreset.
+
+This kernel fuses the ENTIRE step — collision resolution, kill/tail-chase
+accounting, grid update, ring-buffer moves, fruit respawn, episode stats,
+fused auto-reset, and the 8-channel observation encode — into one Pallas
+program that processes a block of envs per grid step, everything resident
+in VMEM.
+
+MEASURED RESULT (TPU v5e, 4096 envs, 20x20x4): the XLA engine runs the
+same step at ~3.3M env-steps/s while this kernel reaches 0.52M at
+env_block=8 (larger blocks exceed the 16MB VMEM scoped limit — the
+one-hot intermediates are (E, N, HW)-shaped). XLA's automatic fusion +
+layout assignment beats the hand-fused formulation for this
+small-grid/many-env shape, so the XLA path stays the default and this
+kernel is an OPT-IN alternative — and a worked example of the
+Pallas port: bit-exact against `engine.step_autoreset` (same RNG
+schedule, verified per-field in tests/test_pallas_step.py), with the
+Mosaic-specific rewrites that is required (one-hot instead of gather,
+triangular-matmul prefix sums instead of cumsum, int32 routing around
+1-bit vector restrictions, >=2D shapes everywhere).
+
+Scope (the high-throughput config class): ``frame_stack == 1``, no
+``vision_range``. All randomness (fruit draws, reset spawn rows) is
+pre-computed OUTSIDE the kernel with the exact same ``jax.random`` key
+schedule as the XLA path, so the two implementations are bit-identical —
+``tests/test_pallas_step.py`` asserts full-state equality against
+``engine.step_autoreset`` every step.
+
+Semantics: see core/engine.py's phase-by-phase parity notes; this file
+implements the same §2.4 contract with an explicit env-block axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from marlsnake_tpu.core import types as T
+from marlsnake_tpu.core.state import EnvState
+from marlsnake_tpu.core.engine import StepOutput, make_empty_grid
+
+_DIR_DELTA = T.DIR_DELTA  # numpy (4, 2)
+
+
+def _step_block(cfg: T.EnvConfig, tables, refs):
+    """Kernel body: one block of E envs, fully vectorized over the block."""
+    (turn_ref, delta_ref, base_ref,
+     grid_ref, dir_ref, headf_ref, tailf_ref, ring_ref, rhead_ref,
+     rlen_ref, alive_ref, acount_ref, scores_ref, steps_ref, fruits_ref,
+     kills_ref, elen_ref, actions_ref, fruit_u_ref, spawn_ref,
+     rfruit_u_ref,
+     o_grid, o_dir, o_headf, o_tailf, o_ring, o_rhead, o_rlen, o_alive,
+     o_acount, o_scores, o_steps, o_fruits, o_kills, o_elen, o_obs,
+     o_rew, o_done, o_rank, o_io_scores, o_io_steps, o_io_fruits,
+     o_io_kills, o_doneall) = refs
+
+    n = cfg.num_snakes
+    h, w = cfg.height, cfg.width
+    hw = h * w
+    cap = cfg.body_capacity
+    r_fruit, r_kill, r_lose, r_win, r_time = cfg.rewards
+    turn_flat = turn_ref[:]      # (1, 20) flattened 4x5 turn table
+    delta_tab = delta_ref[:]     # (1, 4) flat-index direction deltas
+    base_grid = base_ref[:]      # (1, HW)
+
+    def bx(b, where_):
+        # Mosaic only supports inserting dims on 32-bit types; route bool
+        # expansion through int32
+        return jnp.expand_dims(b.astype(jnp.int32), where_) > 0
+
+    def lut(table, idx):
+        # one-hot gather from a tiny (1, S) table; TPU-friendly
+        size = table.shape[-1]
+        oh = (idx[..., None]
+              == jax.lax.broadcasted_iota(jnp.int32,
+                                          idx.shape + (size,), idx.ndim))
+        t = table.reshape((1,) * idx.ndim + (size,))
+        return jnp.where(oh, t, 0).sum(-1)
+
+    grid = grid_ref[:]            # (E, HW) int32
+    e = grid.shape[0]
+    direction = dir_ref[:]        # (E, N)
+    headf = headf_ref[:]          # (E, N) flat head cells
+    tailf = tailf_ref[:]
+    alive0 = alive_ref[:] > 0     # (E, N)
+    actions = jnp.clip(actions_ref[:], 0, 4)
+
+    iota_hw = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hw), 2)
+
+    # --- Phase 1: turn + proposed heads (flat-index arithmetic) ---
+    new_dir = jnp.where(alive0, lut(turn_flat, direction * 5 + actions),
+                        direction)
+    tgt = headf + lut(delta_tab, new_dir)  # (E, N) flat targets
+
+    # --- Phase 2: collision vs pre-move grid ---
+    tgt_oh = (tgt[:, :, None] == iota_hw)  # (E, N, HW)
+    tgt_cell = jnp.where(tgt_oh, grid[:, None, :], 0).sum(2)
+    tgt_type = tgt_cell % 10
+    tgt_owner = jnp.clip(tgt_cell // 10, 0, n - 1)
+    same_tgt = ((tgt[:, :, None] == tgt[:, None, :])
+                & bx(alive0, 2) & bx(alive0, 1))  # (E, N, N)
+    multi = same_tgt.astype(jnp.int32).sum(2) >= 2
+    deadly = ((tgt_type == T.WALL) | (tgt_type == T.BODY)
+              | (tgt_type == T.HEAD))
+    dies_collision = alive0 & (multi | deadly)
+    idx_n = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 2)
+    shared_lower = (same_tgt
+                    & (idx_n < jnp.swapaxes(idx_n, 1, 2))
+                    ).astype(jnp.int32).max(2) > 0
+    primary = alive0 & ~shared_lower
+    hit_snake = (tgt_type == T.BODY) | (tgt_type == T.HEAD)
+    kill_credit = (primary & hit_snake).astype(jnp.float32)
+    own_oh = (tgt_owner[:, :, None]
+              == jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2))
+    kills_delta = (own_oh * kill_credit[:, :, None]).sum(1)  # (E, N)
+    fruit_dead = primary & multi & (tgt_type == T.FRUIT)
+    eats = alive0 & ~multi & ~deadly & (tgt_type == T.FRUIT)
+    fruit_taken = (fruit_dead.astype(jnp.int32).sum(1, keepdims=True)
+                   + eats.astype(jnp.int32).sum(1, keepdims=True))
+
+    # --- Phase 3: tail chase ---
+    chase = (bx(eats, 2) & bx(alive0, 1)
+             & (tgt[:, None, :] == tailf[:, :, None]))  # (E, f, j)
+    dies_chase = chase.astype(jnp.int32).max(1) > 0
+    chase_i = chase.astype(jnp.int32)
+    kills_delta = kills_delta + chase_i.sum(2).astype(jnp.float32)
+    alive_count = (acount_ref[:]
+                   - dies_collision.astype(jnp.int32).sum(1, keepdims=True)
+                   - chase_i.sum(2).sum(1, keepdims=True))  # (E, 1)
+    dead_now = dies_collision | dies_chase
+    alive1 = alive0 & ~dead_now
+
+    # --- Phase 4/5: win + rewards ---
+    ones_n = jnp.ones((1, n), jnp.int32)
+    win = (((alive_count == 1).astype(jnp.int32) * ones_n) > 0) \
+        & (n > 1) & alive1
+    was_dead = ~alive0
+    rew = (r_time * alive1.astype(jnp.float32)
+           + r_fruit * eats.astype(jnp.float32)
+           + r_lose * dead_now.astype(jnp.float32)
+           + r_kill * kills_delta
+           + r_win * win.astype(jnp.float32))
+    rew = jnp.where(was_dead, 0.0, rew)
+    fruits_stat = jnp.where(was_dead, 0.0, eats.astype(jnp.float32))
+    kills_stat = jnp.where(was_dead, 0.0, kills_delta)
+
+    # --- Phase 6: grid update (erase dead -> BODY -> tail erase -> HEAD
+    # -> TAIL), all as one-hot masked selects over (E, N, HW) ---
+    t_pre = grid % 10
+    owner_pre = grid // 10
+    ids_hw = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    dead_owner = (bx(dead_now, 2)
+                  & (owner_pre[:, None, :] == ids_hw)
+                  ).astype(jnp.int32).max(1) > 0
+    g = jnp.where((t_pre >= T.HEAD) & dead_owner, T.EMPTY, grid)
+
+    snake_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) * 10
+
+    def write(g, cells, vals, valid):
+        # last-writer-wins over snakes (cells disjoint across snakes);
+        # vals is (1, N)
+        oh = (cells[:, :, None] == iota_hw) & bx(valid, 2)
+        oh_i = oh.astype(jnp.int32)
+        merged = (oh_i * vals[:, :, None]).sum(1)
+        return jnp.where(oh_i.max(1) > 0, merged, g)
+
+    g = write(g, headf, T.BODY + snake_ids, alive1)
+    retract = alive1 & ~eats
+    g = write(g, tailf, jnp.zeros((1, n), jnp.int32) + T.EMPTY,
+              retract)
+
+    # ring ops
+    ring = ring_ref[:]                         # (E, N, CAP) int32
+    rhead = rhead_ref[:]
+    rlen = rlen_ref[:]
+    new_rhead = jnp.where(alive1, (rhead - 1) % cap, rhead)
+    iota_cap = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cap), 2)
+    push_oh = (new_rhead[:, :, None] == iota_cap) & bx(alive1, 2)
+    ring = jnp.where(push_oh, new_dir[:, :, None], ring)
+    new_rlen = jnp.where(alive1, rlen + 1, rlen)
+    pop_idx = (new_rhead + new_rlen - 1) % cap
+    popped = jnp.where(pop_idx[:, :, None] == iota_cap, ring, 0).sum(2)
+    new_rlen = jnp.where(retract, new_rlen - 1, new_rlen)
+    new_tailf = jnp.where(retract, tailf + lut(delta_tab, popped), tailf)
+    new_headf = jnp.where(alive1, tgt, headf)
+
+    g = write(g, new_headf, T.HEAD + snake_ids, alive1)
+    g = write(g, new_tailf, T.TAIL + snake_ids, alive1)
+
+    # --- Phase 7: fruit respawn (precomputed uniforms) ---
+    # prefix-sum as a triangular matmul (Mosaic has no cumsum): runs on
+    # the MXU; values are small counts so f32 is exact
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (hw, hw), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (hw, hw), 1)
+           ).astype(jnp.float32)
+
+    def fruits_pass(g, u, count):
+        # u (E, D) draws; count (E,) placements on the empty cells of g
+        mask = (g == T.EMPTY)
+        num_empty = mask.astype(jnp.int32).sum(1, keepdims=True)  # (E, 1)
+        cum = jnp.dot(mask.astype(jnp.float32), tri,
+                      preferred_element_type=jnp.float32
+                      ).astype(jnp.int32)             # (E, HW)
+        d = u.shape[1]
+        r = jnp.floor(u * num_empty.astype(jnp.float32)
+                      ).astype(jnp.int32)
+        r = jnp.clip(r, 0, jnp.maximum(num_empty - 1, 0))
+        hit = cum[:, None, :] > r[:, :, None]         # (E, D, HW)
+        hit_i = hit.astype(jnp.int32)
+        prev = jnp.concatenate(
+            [jnp.zeros((e, d, 1), jnp.int32), hit_i[:, :, :-1]], axis=2)
+        cell_oh = hit & (prev == 0)
+        valid = ((jax.lax.broadcasted_iota(jnp.int32, (1, d), 1)
+                  < count)
+                 & ((num_empty > 0).astype(jnp.int32) > 0))
+        put = (cell_oh & bx(valid, 2)).astype(jnp.int32).max(1) > 0
+        return jnp.where(put, T.FRUIT, g)
+
+    g = fruits_pass(g, fruit_u_ref[:], fruit_taken)
+
+    # --- Phase 8: stats / dones / rank ---
+    dones_pre = ~alive1
+    mask = 1.0 - dones_pre.astype(jnp.float32)
+    epi_scores = scores_ref[:] + mask * rew
+    epi_steps = steps_ref[:] + mask
+    epi_fruits = fruits_ref[:] + mask * fruits_stat
+    epi_kills = kills_ref[:] + mask * kills_stat
+    episode_length = elen_ref[:] + 1              # (E, 1)
+    timeout = episode_length >= cfg.max_episode_steps
+    dones = dones_pre | ((timeout.astype(jnp.int32) * ones_n) > 0)
+    di = dones.astype(jnp.int32)
+    if cfg.done_mode == 'any':
+        done_all = di.max(1, keepdims=True) > 0       # (E, 1)
+        dones_out = dones | ((done_all.astype(jnp.int32) * ones_n) > 0)
+    else:
+        done_all = di.min(1, keepdims=True) > 0
+        dones_out = dones
+    rank = 1 + (epi_scores[:, None, :] > epi_scores[:, :, None]).sum(2)
+
+    # --- fused auto-reset (precomputed spawn cells + fruit draws) ---
+    d_all = (done_all.astype(jnp.int32) * ones_n) > 0  # (E, N)
+    d_hw = (done_all.astype(jnp.int32)
+            * jnp.ones((1, hw), jnp.int32)) > 0        # (E, HW)
+    spawn = spawn_ref[:]  # (E, N, k) flat body cells, head first
+    k = cfg.snake_length
+    rg = jnp.broadcast_to(base_grid, (e, hw))
+    body_oh = ((spawn[:, :, :, None] == iota_hw[:, None])
+               .astype(jnp.int32).max(2) > 0)  # (E, N, HW)
+    body_i = body_oh.astype(jnp.int32)
+    rg = jnp.where(body_i.max(1) > 0,
+                   (body_i * (T.BODY + snake_ids)[:, :, None]).sum(1), rg)
+    head_oh = spawn[:, :, 0:1] == iota_hw
+    head_i = head_oh.astype(jnp.int32)
+    rg = jnp.where(head_i.max(1) > 0,
+                   (head_i * (T.HEAD + snake_ids)[:, :, None]).sum(1), rg)
+    tail_oh = spawn[:, :, k - 1:k] == iota_hw
+    tail_i = tail_oh.astype(jnp.int32)
+    rg = jnp.where(tail_i.max(1) > 0,
+                   (tail_i * (T.TAIL + snake_ids)[:, :, None]).sum(1), rg)
+    nf = cfg.resolved_num_fruits
+    if nf > 0:
+        rg = fruits_pass(rg, rfruit_u_ref[:],
+                         jnp.full((e, 1), nf, jnp.int32))
+    # reset ring: link j = delta from spawn[j+1] to spawn[j]
+    link = spawn[:, :, :-1] - spawn[:, :, 1:]             # (E, N, k-1)
+    ld_oh = (link[:, :, :, None] == delta_tab.reshape(1, 1, 1, 4))
+    link_dir = (ld_oh * jax.lax.broadcasted_iota(
+        jnp.int32, ld_oh.shape, 3)).sum(3)
+    pad_link = jnp.pad(link_dir.astype(jnp.int32),
+                       ((0, 0), (0, 0), (0, cap - (k - 1))))
+    r_ring = jnp.where(iota_cap < k - 1, pad_link, 0)
+
+    # final select: reset vs stepped
+    g = jnp.where(d_hw, rg, g)
+    new_dir = jnp.where(d_all, jnp.squeeze(link_dir[:, :, 0:1], 2), new_dir)
+    new_headf = jnp.where(d_all, jnp.squeeze(spawn[:, :, 0:1], 2), new_headf)
+    new_tailf = jnp.where(d_all, jnp.squeeze(spawn[:, :, k - 1:k], 2), new_tailf)
+    done3 = (done_all.astype(jnp.int32)[:, :, None]) > 0  # (E,1,1)
+    ring = jnp.where(done3, r_ring, ring)
+    new_rhead = jnp.where(d_all, 0, new_rhead)
+    new_rlen = jnp.where(d_all, k - 1, new_rlen)
+    alive_out_i = jnp.where(d_all, 1, alive1.astype(jnp.int32))
+    acount_out = jnp.where(done_all, n, alive_count)
+    z = jnp.zeros_like(epi_scores)
+    elen_out = jnp.where(done_all, 0, episode_length)
+
+    # --- single obs encode from the selected state ---
+    t = g % 10
+    owner = g // 10
+    mine = owner[:, None, :, None] == ids_hw[..., None]   # (E,N,HW,1)
+    tt = t[:, None, :, None]
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T.FEATURE_CHANNEL),
+                                 3)
+    env_hit = (c <= 1) & (tt == c + 1)
+    snake_part = (tt >= T.HEAD) & ((c - 2) % 3 == tt - T.HEAD)
+    obs = (env_hit | (snake_part & ((c >= 5) == mine) & (c >= 2))
+           ).astype(jnp.uint8)
+
+    # --- writes ---
+    o_grid[:] = g
+    o_dir[:] = new_dir
+    o_headf[:] = new_headf
+    o_tailf[:] = new_tailf
+    o_ring[:] = ring
+    o_rhead[:] = new_rhead
+    o_rlen[:] = new_rlen
+    o_alive[:] = alive_out_i
+    o_acount[:] = acount_out
+    o_scores[:] = jnp.where(d_all, z, epi_scores)
+    o_steps[:] = jnp.where(d_all, z, epi_steps)
+    o_fruits[:] = jnp.where(d_all, z, epi_fruits)
+    o_kills[:] = jnp.where(d_all, z, epi_kills)
+    o_elen[:] = elen_out
+    o_obs[:] = obs
+    o_rew[:] = rew
+    o_done[:] = dones_out.astype(jnp.int32)
+    o_rank[:] = rank.astype(jnp.int32)
+    o_io_scores[:] = epi_scores
+    o_io_steps[:] = epi_steps
+    o_io_fruits[:] = epi_fruits
+    o_io_kills[:] = epi_kills
+    o_doneall[:] = done_all.astype(jnp.int32)
+
+
+def build_pallas_step(cfg: T.EnvConfig, candidates, pool,
+                      env_block: int = 8, interpret: bool = False,
+                      reset_salt: int = 0x5EED):
+    """Returns step_fn(states, actions) over a (B, ...) batched EnvState,
+    equivalent to vmapped ``engine.step_autoreset``."""
+    if cfg.frame_stack != 1 or cfg.vision_range:
+        raise NotImplementedError(
+            'pallas step covers frame_stack=1, no vision_range')
+    n = cfg.num_snakes
+    h, w = cfg.height, cfg.width
+    hw = h * w
+    cap = cfg.body_capacity
+    k = cfg.snake_length
+    nf = max(cfg.resolved_num_fruits, 1)
+    import numpy as np
+    table = (T.TURN_HUMAN if cfg.observer == 'human' else T.TURN_SNAKE)
+    turn_flat = jnp.asarray(table.reshape(1, 20).astype(np.int32))
+    delta_flat = jnp.asarray(
+        (_DIR_DELTA[:, 0] * w + _DIR_DELTA[:, 1]).reshape(1, 4)
+        .astype(np.int32))
+    base_grid = make_empty_grid(cfg).reshape(1, -1)
+    cand_flat = jnp.asarray(candidates[..., 0] * w + candidates[..., 1])
+
+    kernel = functools.partial(_step_block, cfg, None)
+
+    def step_fn(states: EnvState, actions) -> Tuple[EnvState, StepOutput]:
+        b = states.grid.shape[0]
+        assert b % env_block == 0, (b, env_block)
+        nblk = b // env_block
+
+        # RNG pre-pass: EXACT same key schedule as the XLA path
+        keys = states.key
+        split = jax.vmap(jax.random.split)(keys)  # (B, 2) keys
+        new_keys, k_fruit = split[:, 0], split[:, 1]
+        fruit_u = jax.vmap(lambda kk: jax.random.uniform(kk, (n,)))(
+            k_fruit)
+        rkey = jax.vmap(lambda kk: jax.random.fold_in(kk, reset_salt))(
+            new_keys)
+        k_spawn = jax.vmap(lambda kk: jax.random.fold_in(kk, 0))(rkey)
+        k_rfruit = jax.vmap(lambda kk: jax.random.fold_in(kk, 1))(rkey)
+        k_state = jax.vmap(lambda kk: jax.random.fold_in(kk, 2))(rkey)
+        u_row = jax.vmap(lambda kk: jax.random.uniform(kk, ()))(k_spawn)
+        row = jnp.minimum((u_row * pool.shape[0]).astype(jnp.int32),
+                          pool.shape[0] - 1)
+        spawn_cells = cand_flat[pool[row]]  # (B, N, k)
+        rfruit_u = (jax.vmap(lambda kk: jax.random.uniform(kk, (nf,)))(
+            k_rfruit) if cfg.resolved_num_fruits > 0
+            else jnp.zeros((b, nf)))
+
+        grid2d = states.grid.reshape(b, hw)
+        headf = states.head[..., 0] * w + states.head[..., 1]
+        tailf = states.tail[..., 0] * w + states.tail[..., 1]
+
+        def spec(*shape):
+            nz = len(shape)
+            return pl.BlockSpec((env_block,) + shape,
+                                lambda i, _n=nz: (i,) + (0,) * _n,
+                                memory_space=pltpu.VMEM)
+        f32, i32, u8, i8 = jnp.float32, jnp.int32, jnp.uint8, jnp.int8
+        out_shapes = [
+            jax.ShapeDtypeStruct((b, hw), i32),        # grid
+            jax.ShapeDtypeStruct((b, n), i32),         # dir
+            jax.ShapeDtypeStruct((b, n), i32),         # headf
+            jax.ShapeDtypeStruct((b, n), i32),         # tailf
+            jax.ShapeDtypeStruct((b, n, cap), i32),    # ring
+            jax.ShapeDtypeStruct((b, n), i32),         # rhead
+            jax.ShapeDtypeStruct((b, n), i32),         # rlen
+            jax.ShapeDtypeStruct((b, n), i32),         # alive
+            jax.ShapeDtypeStruct((b, 1), i32),         # alive_count
+            jax.ShapeDtypeStruct((b, n), f32),         # scores
+            jax.ShapeDtypeStruct((b, n), f32),         # steps
+            jax.ShapeDtypeStruct((b, n), f32),         # fruits
+            jax.ShapeDtypeStruct((b, n), f32),         # kills
+            jax.ShapeDtypeStruct((b, 1), i32),         # elen
+            jax.ShapeDtypeStruct((b, n, hw, T.FEATURE_CHANNEL), u8),
+            jax.ShapeDtypeStruct((b, n), f32),         # rew
+            jax.ShapeDtypeStruct((b, n), i32),         # done
+            jax.ShapeDtypeStruct((b, n), i32),         # rank
+            jax.ShapeDtypeStruct((b, n), f32),         # io scores
+            jax.ShapeDtypeStruct((b, n), f32),         # io steps
+            jax.ShapeDtypeStruct((b, n), f32),         # io fruits
+            jax.ShapeDtypeStruct((b, n), f32),         # io kills
+            jax.ShapeDtypeStruct((b, 1), i32),         # done_all
+        ]
+        def tspec(*shape):
+            nz = len(shape)
+            return pl.BlockSpec(shape, lambda i, _n=nz: (0,) * _n,
+                                memory_space=pltpu.VMEM)
+
+        in_specs = [
+            tspec(1, 20), tspec(1, 4), tspec(1, hw),
+            spec(hw), spec(n), spec(n), spec(n), spec(n, cap), spec(n),
+            spec(n), spec(n), spec(1), spec(n), spec(n), spec(n), spec(n),
+            spec(1), spec(n), spec(n), spec(n, k), spec(nf),
+        ]
+        out_specs = [
+            spec(hw), spec(n), spec(n), spec(n), spec(n, cap), spec(n),
+            spec(n), spec(n), spec(1), spec(n), spec(n), spec(n), spec(n),
+            spec(1), spec(n, hw, T.FEATURE_CHANNEL), spec(n), spec(n),
+            spec(n), spec(n), spec(n), spec(n), spec(n), spec(1),
+        ]
+        outs = pl.pallas_call(
+            lambda *refs: kernel(refs),
+            grid=(nblk,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(turn_flat, delta_flat, base_grid,
+          grid2d, states.direction, headf, tailf,
+          states.ring.astype(i32),
+          states.ring_head, states.ring_len,
+          states.alive.astype(i32), states.alive_count[:, None],
+          states.epi_scores, states.epi_steps, states.epi_fruits,
+          states.epi_kills, states.episode_length[:, None],
+          jnp.asarray(actions, i32), fruit_u, spawn_cells, rfruit_u)
+
+        (g, dirs, hf, tf, ring, rh, rl, alive, acount, sc, st, fr, ki,
+         el, obs, rew, done, rank, io_sc, io_st, io_fr, io_ki,
+         doneall) = outs
+        head = jnp.stack([hf // w, hf % w], -1)
+        tail = jnp.stack([tf // w, tf % w], -1)
+        done_b = doneall[:, 0] > 0
+        key_out = jnp.where(done_b, k_state, new_keys)
+        new_state = states.replace(
+            grid=g.reshape(b, h, w), direction=dirs, head=head, tail=tail,
+            ring=ring.astype(jnp.int8), ring_head=rh, ring_len=rl,
+            alive=alive > 0,
+            alive_count=acount[:, 0], epi_scores=sc, epi_steps=st,
+            epi_fruits=fr, epi_kills=ki, episode_length=el[:, 0],
+            key=key_out)
+        out = StepOutput(
+            obs=obs.reshape(b, n, h, w, T.FEATURE_CHANNEL),
+            reward=rew, done=done > 0, rank=rank,
+            episode_scores=io_sc, episode_steps=io_st,
+            episode_fruits=io_fr, episode_kills=io_ki,
+            done_all=doneall[:, 0] > 0)
+        return new_state, out
+
+    return step_fn
