@@ -59,17 +59,44 @@ def build_vector_fns(cfg: EnvConfig, autoreset: bool = True):
     return reset_fn, step_fn
 
 
+def build_graph_vector_fns(cfg: EnvConfig, autoreset: bool = True):
+    """Vectorized GraphSnakeEnv: batched ray-feature observations
+    (B, N, 5, C) in place of the grid obs (see envs/graph.py)."""
+    from marlsnake_tpu.ops.rays import ray_features
+
+    reset_fn, step_fn = build_vector_fns(cfg, autoreset)
+    rays = jax.vmap(functools.partial(ray_features, cfg))
+
+    def reset_g(keys):
+        states, obs = reset_fn(keys)
+        return states, rays(obs, states.head, states.direction,
+                            states.alive)
+
+    def step_g(states, actions):
+        states, out = step_fn(states, actions)
+        proc = rays(out.obs, states.head, states.direction, states.alive)
+        return states, out.replace(obs=proc)
+
+    return reset_g, step_g
+
+
 class VectorSnakeEnv:
     """Jitted batched environment (single host / single device).
 
-    For multi-device sharding see ``marlsnake_tpu.parallel``.
+    For multi-device sharding see ``marlsnake_tpu.parallel``. Pass
+    ``graph=True`` for batched ray-feature observations.
     """
 
-    def __init__(self, cfg: EnvConfig, num_envs: int, autoreset: bool = True):
+    def __init__(self, cfg: EnvConfig, num_envs: int,
+                 autoreset: bool = True, graph: bool = False):
         self.cfg = cfg
         self.num_envs = num_envs
         self.autoreset = autoreset
-        reset_fn, step_fn = build_vector_fns(cfg, autoreset)
+        self.graph = graph
+        if graph:
+            reset_fn, step_fn = build_graph_vector_fns(cfg, autoreset)
+        else:
+            reset_fn, step_fn = build_vector_fns(cfg, autoreset)
         self._reset = jax.jit(reset_fn)
         self._step = jax.jit(step_fn)
 
@@ -83,6 +110,9 @@ class VectorSnakeEnv:
 
     @property
     def obs_shape(self):
+        if self.graph:
+            return (self.num_envs, self.cfg.num_snakes, 5,
+                    self.cfg.obs_channels)
         return (self.num_envs,) + self.cfg.obs_shape
 
     @property

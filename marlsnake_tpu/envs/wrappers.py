@@ -199,16 +199,19 @@ class VectorAdapter:
     shared-memory transport.
     """
 
-    def __init__(self, cfg: EnvConfig, num_envs: int, seed: int = 0):
+    def __init__(self, cfg: EnvConfig, num_envs: int, seed: int = 0,
+                 graph: bool = False):
         self.cfg = cfg
         self.num_envs = num_envs
         self.num_snakes = cfg.num_snakes
-        self.venv = VectorSnakeEnv(cfg, num_envs, autoreset=True)
+        self.venv = VectorSnakeEnv(cfg, num_envs, autoreset=True,
+                                   graph=graph)
         self._key = jax.random.key(seed)
         self._states = None
         self.action_space = spaces.Discrete(cfg.num_actions)
         self.observation_space = spaces.Box(
-            0, 255, shape=(num_envs,) + cfg.obs_shape, dtype=np.uint8)
+            0, 255, shape=self.venv.obs_shape,
+            dtype=np.float32 if graph else np.uint8)
 
     def reset(self, **kwargs) -> np.ndarray:
         self._key, sub = jax.random.split(self._key)
@@ -304,10 +307,6 @@ def make_snake(num_envs: int = 1, num_snakes: int = 4,
                 else SingleAgent(adapter))
 
     if num_envs > 1:
-        if ENV_IDS[env_id]['graph']:
-            raise NotImplementedError(
-                'vectorized graph observations: use build_vector_fns + '
-                'ops.rays.ray_features directly')
         reward_dict = kwargs.pop('reward_dict', None)
         kwargs.setdefault('num_fruits', -1)
         if 'map' in kwargs:
@@ -316,7 +315,8 @@ def make_snake(num_envs: int = 1, num_snakes: int = 4,
         cfg = EnvConfig.from_reward_dict(
             reward_dict, num_snakes=num_snakes,
             done_mode=ENV_IDS[env_id]['done_mode'], **kwargs)
-        env = VectorAdapter(cfg, num_envs, seed=seed)
+        env = VectorAdapter(cfg, num_envs, seed=seed,
+                            graph=ENV_IDS[env_id]['graph'])
         obs_shape = env.observation_space.shape
         action_n = cfg.num_actions
     else:

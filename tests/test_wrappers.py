@@ -106,3 +106,13 @@ def test_gif_save_fileobj():
     with io.BytesIO() as fileobj:
         env.save_gif(fileobj)
         assert fileobj.getbuffer().nbytes > 0
+
+
+def test_vectorized_graph_env():
+    env, obs_shape, _, _ = make_snake(num_envs=3, num_snakes=2,
+                                      env_id='SnakeGraph-v1',
+                                      height=12, width=12, snake_length=3)
+    obs = env.reset()
+    assert obs.shape == (3, 2, 5, 8)
+    obs, rews, dones, _ = env.step(np.zeros((3, 2), np.int32))
+    assert obs.shape == (3, 2, 5, 8) and obs.dtype == np.float32
