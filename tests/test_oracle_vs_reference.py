@@ -37,6 +37,8 @@ CASES = [
          vision_range=5, frame_stack=2),
     dict(height=12, width=12, num_snakes=4, snake_length=3, num_fruits=2,
          observer='human'),
+    dict(height=14, width=14, num_snakes=6, snake_length=3, num_fruits=5),
+    dict(height=9, width=15, num_snakes=3, snake_length=4, num_fruits=1),
 ]
 
 
@@ -74,7 +76,7 @@ def run_oracle(params, seed, steps, actions_list):
 
 
 @pytest.mark.parametrize('case', range(len(CASES)))
-@pytest.mark.parametrize('seed', [0, 1, 42])
+@pytest.mark.parametrize('seed', [0, 1, 7, 42])
 def test_oracle_bit_exact_vs_reference(case, seed):
     params = CASES[case]
     steps = 80
