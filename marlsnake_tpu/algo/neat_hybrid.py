@@ -93,11 +93,61 @@ class HybridNEATTrainer:
         self._reset_jit = jax.jit(self._reset_env)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _dense_head(genome, cfg: NeatConfig):
+        """(W (in, out), b (out,), acts (out,)) for hidden-free genomes
+        with relu outputs, else None — these act as one batched matmul."""
+        import numpy as np
+        if set(genome.nodes) != set(cfg.output_keys):
+            return None
+        if any(genome.nodes[k].activation != 'relu'
+               for k in cfg.output_keys):
+            return None
+        w = np.zeros((cfg.num_inputs, cfg.num_outputs), np.float32)
+        b = np.asarray([genome.nodes[k].bias for k in cfg.output_keys],
+                       np.float32)
+        in_pos = {k: i for i, k in enumerate(cfg.input_keys)}
+        out_pos = {k: i for i, k in enumerate(cfg.output_keys)}
+        for (i, o), conn in genome.connections.items():
+            if not conn.enabled:
+                continue
+            if i not in in_pos or o not in out_pos:
+                return None
+            w[in_pos[i], out_pos[o]] = conn.weight
+        return w, b
+
     def eval_genomes(self, genomes, cfg: NeatConfig):
-        """Batched fitness: one env per genome, all stepped together."""
+        """Batched fitness: one env per genome, all stepped together.
+
+        Genomes that are still pure input->output relu heads (the
+        full_direct initial topology, which most of the population stays
+        at) act through ONE stacked device matmul; structurally-mutated
+        genomes fall back to the per-step python network."""
+        import numpy as np
         n = self.env_cfg.num_snakes
         pop = len(genomes)
-        nets = [FeedForwardNetwork.create(g, cfg) for _, g in genomes]
+        dense = [self._dense_head(g, cfg) for _, g in genomes]
+        nets = [None if d is not None else FeedForwardNetwork.create(g, cfg)
+                for d, (_, g) in zip(dense, genomes)]
+        any_dense = any(d is not None for d in dense)
+        if any_dense:
+            dw = np.stack([d[0] if d is not None
+                           else np.zeros((cfg.num_inputs, cfg.num_outputs),
+                                         np.float32) for d in dense])
+            db = np.stack([d[1] if d is not None
+                           else np.zeros(cfg.num_outputs, np.float32)
+                           for d in dense])
+            dw, db = jnp.asarray(dw), jnp.asarray(db)
+
+            @jax.jit
+            def dense_acts(emb, dw, db):
+                # emb (pop, N, 128) x dw (pop, 128, 3) -> argmax actions
+                logits = jnp.einsum('pni,pio->pno', emb, dw) + db[:, None]
+                return jnp.argmax(jax.nn.relu(logits), axis=-1)
+
+            self._dense_acts = dense_acts
+        else:
+            dw = db = None
         keys = jax.random.split(
             jax.random.fold_in(jax.random.key(self.seed), self._gen_tick()),
             pop)
@@ -105,11 +155,20 @@ class HybridNEATTrainer:
         returns = np.zeros((pop, n))
         done = np.zeros((pop, n), bool)
         for _ in range(self.episode_steps):
-            emb = np.asarray(self._embed(self.dqn_params, jnp.asarray(obs)))
+            emb_dev = self._embed(self.dqn_params, jnp.asarray(obs))
+            if any_dense:
+                dense_a = np.asarray(
+                    self._dense_acts(emb_dev, dw, db))
+            emb = None
             actions = np.zeros((pop, n), np.int32)
             for p in range(pop):
                 if done[p].all():
                     continue
+                if nets[p] is None:
+                    actions[p] = np.where(done[p], 0, dense_a[p])
+                    continue
+                if emb is None:
+                    emb = np.asarray(emb_dev)
                 for i in range(n):
                     if not done[p, i]:
                         actions[p, i] = int(np.argmax(

@@ -154,3 +154,29 @@ def test_evaluate_batch_runs():
                       jnp.zeros((1, 8, 8, 8), jnp.uint8))
     r, t = evaluate_batch(net, params, cfg, num_envs=4, max_steps=16)
     assert np.isfinite(r) and 0 < t <= 16
+
+
+def test_neat_dense_head_matches_python_net():
+    from marlsnake_tpu.algo.neat import FeedForwardNetwork, NeatConfig
+    from marlsnake_tpu.algo.neat_hybrid import (HybridNEATTrainer,
+                                                fc3_to_genome)
+    rng = np.random.default_rng(0)
+    cfg = NeatConfig(num_inputs=16, num_outputs=3)
+    params = {'params': {'fc3': {
+        'kernel': rng.normal(size=(16, 3)).astype(np.float32),
+        'bias': rng.normal(size=(3,)).astype(np.float32)}}}
+    genome = fc3_to_genome(params, cfg)
+    dense = HybridNEATTrainer._dense_head(genome, cfg)
+    assert dense is not None
+    w, b = dense
+    net = FeedForwardNetwork.create(genome, cfg)
+    for _ in range(20):
+        x = rng.normal(size=(16,)).astype(np.float32)
+        a_dense = int(np.argmax(np.maximum(x @ w + b, 0.0)))
+        a_py = int(np.argmax(net.activate(x)))
+        assert a_dense == a_py
+    # structurally mutated genome -> no dense head
+    import random as _r
+    genome2 = genome.copy(1)
+    genome2._mutate_add_node(cfg, _r.Random(0), [cfg.num_outputs])
+    assert HybridNEATTrainer._dense_head(genome2, cfg) is None
