@@ -74,12 +74,26 @@ def push(buf: ReplayBuffer, obs, action, reward, next_obs, done,
     )
 
 
-def sample(buf: ReplayBuffer, key, batch_size: int):
-    """Uniform sample WITH replacement (the reference uses
-    ``random.sample`` without replacement over >=3x batch_size entries —
-    train_dqn.py:96-97,46; with-replacement is distributionally equivalent
-    at these ratios and stays O(batch) on device)."""
-    idx = jax.random.randint(key, (batch_size,), 0,
-                             jnp.maximum(buf.size, 1))
+def sample(buf: ReplayBuffer, key, batch_size: int,
+           replace: bool = False):
+    """Uniform sample of ``batch_size`` transitions.
+
+    ``replace=False`` (default) matches the reference's ``random.sample``
+    semantics (train_dqn.py:96-97): distinct indices, implemented as a
+    top-k over random keys restricted to the filled region — O(capacity)
+    on-device, no host round trip. ``replace=True`` is the cheaper
+    independent-draws variant.
+    """
+    if replace or batch_size > buf.capacity:
+        idx = jax.random.randint(key, (batch_size,), 0,
+                                 jnp.maximum(buf.size, 1))
+    else:
+        cap = buf.capacity
+        u = jax.random.uniform(key, (cap,))
+        # unfilled slots get keys > 1 so they sort last; if size <
+        # batch_size the tail indices wrap via mod (duplicates only then)
+        u = u + (jnp.arange(cap) >= buf.size) * 2.0
+        idx = jnp.argsort(u)[:batch_size]
+        idx = idx % jnp.maximum(buf.size, 1)
     return (buf.obs[idx], buf.action[idx], buf.reward[idx],
             buf.next_obs[idx], buf.done[idx])

@@ -180,3 +180,14 @@ def test_neat_dense_head_matches_python_net():
     genome2 = genome.copy(1)
     genome2._mutate_add_node(cfg, _r.Random(0), [cfg.num_outputs])
     assert HybridNEATTrainer._dense_head(genome2, cfg) is None
+
+
+def test_replay_sample_without_replacement_distinct():
+    buf = replay.create(64, (1,))
+    obs = jnp.arange(40, dtype=jnp.uint8).reshape(40, 1)
+    buf = replay.push(buf, obs, jnp.arange(40), jnp.arange(40.0),
+                      obs, jnp.zeros(40, bool))
+    s = replay.sample(buf, jax.random.key(0), 32, replace=False)
+    rewards = np.asarray(s[2])
+    assert len(np.unique(rewards)) == 32  # distinct transitions
+    assert rewards.max() < 40  # never samples unfilled slots
