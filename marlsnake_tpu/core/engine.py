@@ -154,11 +154,16 @@ def encode_frame_cropped(cfg: T.EnvConfig, grid: jnp.ndarray,
     center = jnp.where(alive[:, None], head, 0)
     ry = center[:, 0, None] + jnp.arange(v2) - v   # (N, v2) source rows
     cx = center[:, 1, None] + jnp.arange(v2) - v   # (N, v2) source cols
-    ry_oh = (ry[:, :, None] == jnp.arange(h)).astype(grid.dtype)  # (N,v2,H)
-    cx_oh = (cx[:, :, None] == jnp.arange(w)).astype(grid.dtype)  # (N,v2,W)
-    # win[n, y, x] = grid[ry[n, y], cx[n, x]] (0 when out of bounds)
-    tmp = (ry_oh[:, :, :, None] * grid[None, None, :, :]).sum(2)  # (N,v2,W)
-    win = (cx_oh[:, None, :, :] * tmp[:, :, None, :]).sum(3)      # (N,v2,v2)
+    ry_oh = (ry[:, :, None] == jnp.arange(h)).astype(jnp.float32)
+    cx_oh = (cx[:, :, None] == jnp.arange(w)).astype(jnp.float32)
+    # win[n, y, x] = grid[ry[n, y], cx[n, x]] (0 when out of bounds).
+    # One-hot contractions as einsums -> MXU matmuls; the elementwise
+    # form materializes an (N, v2, H, W) product per env, which at 4096
+    # vmapped envs is hundreds of MB of intermediate traffic. Cell
+    # values are < 2^7 so f32 accumulation is exact.
+    tmp = jnp.einsum('nyh,hw->nyw', ry_oh,
+                     grid.astype(jnp.float32))        # (N, v2, W)
+    win = jnp.einsum('nxw,nyw->nyx', cx_oh, tmp).astype(jnp.int32)
 
     t = win % 10
     owner = win // 10
