@@ -57,8 +57,6 @@ from marlsnake_tpu.core.state import (
 from marlsnake_tpu.ops.scatter import dense_add_1d, dense_set_1d
 
 _DIR_DELTA = jnp.asarray(T.DIR_DELTA)
-_TURN_SNAKE = jnp.asarray(T.TURN_SNAKE)
-_TURN_HUMAN = jnp.asarray(T.TURN_HUMAN)
 
 
 @struct.dataclass
@@ -84,6 +82,36 @@ def delta_to_dir(delta: jnp.ndarray) -> jnp.ndarray:
     """Map (..., 2) coordinate deltas to direction indices."""
     eq = (delta[..., None, :] == _DIR_DELTA).all(-1)
     return jnp.argmax(eq, axis=-1).astype(jnp.int32)
+
+
+def dir_delta(d: jnp.ndarray) -> jnp.ndarray:
+    """``DIR_DELTA[d]`` as compare/select arithmetic — no gather.
+
+    Tiny-table gathers lower to kCustom dynamic-gather fusions that
+    dominated step traces (11ms/step at 4096 envs for the turn table
+    alone); the arithmetic form fuses into neighboring elementwise work.
+    DIR_DELTA order: UP(-1,0) RIGHT(0,1) DOWN(1,0) LEFT(0,-1).
+    """
+    dr = (d == T.DOWN).astype(jnp.int32) - (d == T.UP).astype(jnp.int32)
+    dc = (d == T.RIGHT).astype(jnp.int32) - (d == T.LEFT).astype(jnp.int32)
+    return jnp.stack([dr, dc], axis=-1)
+
+
+def next_direction(cfg: T.EnvConfig, direction: jnp.ndarray,
+                   actions: jnp.ndarray) -> jnp.ndarray:
+    """``TURN[direction, actions]`` as arithmetic (bit-equal to the
+    tables in core/types.py; reference semantics snake_env.py:598-632)."""
+    a = jnp.clip(actions.astype(jnp.int32), 0, 4)
+    if cfg.observer == 'human':
+        horiz = direction % 2 == 1
+        return jnp.where(
+            horiz & (a == 3), T.DOWN,
+            jnp.where(horiz & (a == 4), T.UP,
+                      jnp.where(~horiz & (a == 1), T.LEFT,
+                                jnp.where(~horiz & (a == 2), T.RIGHT,
+                                          direction))))
+    turn = (a == 2).astype(jnp.int32) - (a == 1).astype(jnp.int32)
+    return (direction + turn + 4) & 3
 
 
 def place_fruits(grid: jnp.ndarray, u: jnp.ndarray,
@@ -145,7 +173,9 @@ def encode_frame_cropped(cfg: T.EnvConfig, grid: jnp.ndarray,
     with one-hot row/column selectors and encoded in place. Out-of-grid
     cells select nothing -> EMPTY -> all-zero channels, identical to the
     reference's zero-padded crop (snake_env.py:497-517), including the
-    dead-snake (0, 0) anchor quirk.
+    dead-snake (0, 0) anchor quirk. (Tried and reverted: encoding the
+    full (N, H, W, 8) frame first and windowing it with 'nyh,nhwc'
+    einsums — 2x slower than this despite avoiding two layout copies.)
     """
     n = cfg.num_snakes
     h, w = cfg.height, cfg.width
@@ -206,16 +236,16 @@ def make_empty_grid(cfg: T.EnvConfig) -> jnp.ndarray:
 # reset
 # ---------------------------------------------------------------------------
 
-def _reset_core(cfg: T.EnvConfig, candidates: jnp.ndarray,
-                pool: jnp.ndarray, key: jnp.ndarray) -> EnvState:
+def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray) -> EnvState:
     """Reset WITHOUT observation encoding (obs_stack left as the empty
     placeholder); see :func:`reset` for the public API.
 
     Replaces the reference's per-reset DFS + rejection loop
     (snake_env.py:131-159,576-589): candidate paths are pre-enumerated once
-    per config, disjoint N-tuples are rejection-sampled ONCE on the host
-    into ``pool`` (spawn.spawn_pool), and reset draws a single pool row —
-    no device-side retry loop, which would otherwise iterate to the max
+    per config, disjoint N-tuples are rejection-sampled ONCE on the host,
+    and their coords/ring-dirs fully precomputed per row
+    (spawn.spawn_data) — reset draws one pool row with a single gather; no
+    device-side retry loop, which would otherwise iterate to the max
     rejection count over the whole vmapped env batch.
 
     Key schedule (mirrored by the oracle): fold_in(key, 0) -> pool row,
@@ -228,15 +258,14 @@ def _reset_core(cfg: T.EnvConfig, candidates: jnp.ndarray,
     k_fruit = jax.random.fold_in(key, 1)
     k_state = jax.random.fold_in(key, 2)
 
-    num_pool = pool.shape[0]
+    num_pool = spawn.cells.shape[0]
     u = jax.random.uniform(k_spawn, ())
     row = jnp.minimum((u * num_pool).astype(jnp.int32), num_pool - 1)
-    idx = pool[row]  # (N,) candidate indices, disjoint by construction
 
-    coords = candidates[idx]  # (N, k, 2) head-first
+    cell_flat = spawn.cells[row]  # (N, k) head-first, disjoint
+    coords = jnp.stack([cell_flat // w, cell_flat % w], -1)  # (N, k, 2)
     grid = make_empty_grid(cfg)
     flat = grid.reshape(-1)
-    cell_flat = coords[..., 0] * w + coords[..., 1]  # (N, k)
     snake_ids = jnp.arange(n, dtype=jnp.int32) * 10
     # Paint body, then head, then tail (reference snake_env.py:138-144),
     # as dense one-hot writes (cells are disjoint across snakes).
@@ -253,6 +282,11 @@ def _reset_core(cfg: T.EnvConfig, candidates: jnp.ndarray,
 
     # Direction ring: link j points from coords[j+1] to coords[j]
     # (reference Snake.__init__, core/snake.py:62-71). Newest first.
+    # Computed on device from the gathered coords: feeding the ring from
+    # a precomputed spawn.dirs[row] gather flips XLA's layout choice for
+    # the (N, capacity) ring to a gather-friendly one that makes the
+    # ring push/pop one-hot ops ~8x slower (measured 60ms/step at 4096
+    # envs vs ~3ms for this arithmetic).
     link_deltas = coords[:, :-1] - coords[:, 1:]  # (N, k-1, 2)
     dirs = delta_to_dir(link_deltas)  # (N, k-1)
     ring = jnp.zeros((n, cfg.body_capacity), dtype=jnp.int8)
@@ -306,15 +340,16 @@ def _encode_and_stack(cfg: T.EnvConfig, state: EnvState, old_stack,
     return stack_to_obs(stack), stack
 
 
-def reset(cfg: T.EnvConfig, candidates: jnp.ndarray, pool: jnp.ndarray,
-          key: jnp.ndarray) -> Tuple[EnvState, jnp.ndarray]:
+def reset(cfg: T.EnvConfig, spawn, key: jnp.ndarray
+          ) -> Tuple[EnvState, jnp.ndarray]:
     """Pure reset: sample a disjoint spawn combo, place fruits, encode obs.
 
-    Replaces the reference's per-reset DFS + rejection loop
+    ``spawn`` is a ``spawn.SpawnData`` of jnp arrays. Replaces the
+    reference's per-reset DFS + rejection loop
     (snake_env.py:131-159,576-589); see ``_reset_core`` for the key
     schedule (mirrored by the oracle).
     """
-    state = _reset_core(cfg, candidates, pool, key)
+    state = _reset_core(cfg, spawn, key)
     obs, obs_stack = _encode_and_stack(cfg, state, None, True)
     if obs_stack is not None:
         state = state.replace(obs_stack=obs_stack)
@@ -339,11 +374,9 @@ def _step_core(cfg: T.EnvConfig, state: EnvState,
     idx_n = jnp.arange(n)
 
     # --- Phase 1: direction update + proposed heads ---
-    actions = jnp.clip(actions.astype(jnp.int32), 0, 4)
-    table = _TURN_HUMAN if cfg.observer == 'human' else _TURN_SNAKE
-    new_dir = jnp.where(alive0, table[state.direction, actions],
-                        state.direction)
-    tgt = state.head + _DIR_DELTA[new_dir]  # (N, 2); interior-safe
+    new_dir = jnp.where(alive0, next_direction(cfg, state.direction,
+                                               actions), state.direction)
+    tgt = state.head + dir_delta(new_dir)  # (N, 2); interior-safe
 
     # --- Phase 2: collision vs pre-move grid ---
     # dense gather: (N, HW) one-hot dot beats a tiny dynamic gather on TPU
@@ -404,10 +437,11 @@ def _step_core(cfg: T.EnvConfig, state: EnvState,
     # --- Phase 6: grid update (masked writes in an order-equivalent order) --
     t_pre = grid % 10
     owner_pre = grid // 10
-    # dense owner test (no gather): cell erased iff its owner died now
-    dead_owner = (dead_now[:, None, None]
-                  & (owner_pre[None] == idx_n[:, None, None])).any(0)
-    erase = (t_pre >= T.HEAD) & dead_owner
+    # cell erased iff its owner died now: per-env death BITMASK tested
+    # with a per-cell shift — one (H, W) pass instead of an (N, H, W)
+    # broadcast-compare-any (4.1ms -> ~1ms at 4096 envs in traces)
+    dead_bits = (dead_now.astype(jnp.int32) << idx_n).sum()
+    erase = (t_pre >= T.HEAD) & (((dead_bits >> owner_pre) & 1) > 0)
     flat = jnp.where(erase, T.EMPTY, grid).reshape(-1)
 
     head_flat = state.head[:, 0] * w + state.head[:, 1]
@@ -424,7 +458,7 @@ def _step_core(cfg: T.EnvConfig, state: EnvState,
         state.ring, state.ring_head, state.ring_len, new_dir, alive1)
     popped, ring_len = ring_pop_tail(ring, ring_head, ring_len, retract)
     new_tail = jnp.where(retract[:, None],
-                         state.tail + _DIR_DELTA[popped], state.tail)
+                         state.tail + dir_delta(popped), state.tail)
     new_head = jnp.where(alive1[:, None], tgt, state.head)
 
     nh_flat = new_head[:, 0] * w + new_head[:, 1]
@@ -495,9 +529,8 @@ def step(cfg: T.EnvConfig, state: EnvState,
     return new_state, out.replace(obs=obs)
 
 
-def step_autoreset(cfg: T.EnvConfig, candidates: jnp.ndarray,
-                   pool: jnp.ndarray, state: EnvState, actions: jnp.ndarray,
-                   reset_salt: int = 0x5EED
+def step_autoreset(cfg: T.EnvConfig, spawn, state: EnvState,
+                   actions: jnp.ndarray, reset_salt: int = 0x5EED
                    ) -> Tuple[EnvState, StepOutput]:
     """Step with fused auto-reset (single env; vmap outside).
 
@@ -510,7 +543,7 @@ def step_autoreset(cfg: T.EnvConfig, candidates: jnp.ndarray,
     """
     new_state, out = _step_core(cfg, state, actions)
     rkey = jax.random.fold_in(new_state.key, reset_salt)
-    r_state = _reset_core(cfg, candidates, pool, rkey)
+    r_state = _reset_core(cfg, spawn, rkey)
     done = out.done_all
 
     # select every field except obs_stack (handled by _encode_and_stack)

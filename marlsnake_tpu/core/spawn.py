@@ -22,6 +22,7 @@ from __future__ import annotations
 import ctypes
 import functools
 import os
+from typing import NamedTuple
 
 import numpy as np
 
@@ -161,6 +162,32 @@ def spawn_pool(height: int, width: int, k: int, num_snakes: int,
         reps = -(-pool_size // len(pool))
         pool = np.tile(pool, (reps, 1))[:pool_size]
     return np.ascontiguousarray(pool.astype(np.int32))
+
+
+class SpawnData(NamedTuple):
+    """Per-pool-row reset data, fully precomputed on the host.
+
+    ``reset`` draws one row and gathers its flat cell indices — a single
+    small gather instead of the chained pool-row -> candidate-path
+    computation (which cost ~7ms/step of device time at 4096 autoreset
+    envs in traces). Coords/ring-dirs are derived on device by divmod
+    (feeding the ring from a precomputed gather flips XLA's ring layout
+    and makes the ring ops ~8x slower — see engine._reset_core).
+    """
+    cells: np.ndarray  # (P, N, k) int32 — head-first flat r*W+c indices
+
+
+@functools.lru_cache(maxsize=32)
+def spawn_data(height: int, width: int, k: int, num_snakes: int,
+               pool_size: int = 1 << 16, seed: int = 0,
+               map_layout=None) -> SpawnData:
+    """Precompute the flat spawn cells of every pool row."""
+    cand = spawn_candidates(height, width, k, map_layout)
+    pool = spawn_pool(height, width, k, num_snakes, pool_size, seed,
+                      map_layout)
+    coords = cand[pool]  # (P, N, k, 2)
+    cells = coords[..., 0].astype(np.int64) * width + coords[..., 1]
+    return SpawnData(cells=np.ascontiguousarray(cells.astype(np.int32)))
 
 
 @functools.lru_cache(maxsize=32)

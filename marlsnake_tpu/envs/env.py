@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from marlsnake_tpu.core import engine
-from marlsnake_tpu.core.spawn import spawn_candidates, spawn_pool
+from marlsnake_tpu.core.spawn import (
+    SpawnData, spawn_candidates, spawn_data)
 from marlsnake_tpu.core.state import EnvState
 from marlsnake_tpu.core.types import EnvConfig
 
@@ -50,17 +51,15 @@ class SnakeEnv:
                 f'{cfg.num_snakes} snakes of length {cfg.snake_length} '
                 f'cannot fit on a {cfg.height}x{cfg.width} board '
                 f'({interior} interior cells)')
-        self.candidates = jnp.asarray(
-            spawn_candidates(cfg.height, cfg.width, cfg.snake_length,
-                             cfg.map_layout))
+        self.candidates = spawn_candidates(
+            cfg.height, cfg.width, cfg.snake_length, cfg.map_layout)
         if self.candidates.shape[0] == 0:
             raise ValueError('no valid spawn positions for this config')
-        self.pool = jnp.asarray(
-            spawn_pool(cfg.height, cfg.width, cfg.snake_length,
-                       cfg.num_snakes, map_layout=cfg.map_layout))
+        sd = spawn_data(cfg.height, cfg.width, cfg.snake_length,
+                        cfg.num_snakes, map_layout=cfg.map_layout)
+        self.spawn = SpawnData(jnp.asarray(sd.cells))
         self._reset = jax.jit(
-            functools.partial(engine.reset, cfg, self.candidates,
-                              self.pool))
+            functools.partial(engine.reset, cfg, self.spawn))
         self._step = jax.jit(functools.partial(engine.step, cfg))
 
     # --- pure API ---------------------------------------------------------
@@ -73,8 +72,7 @@ class SnakeEnv:
 
     # Unjitted variants for composing into larger jitted programs.
     def reset_fn(self, key):
-        return engine.reset(self.cfg, self.candidates, self.pool,
-                            key)
+        return engine.reset(self.cfg, self.spawn, key)
 
     def step_fn(self, state, actions):
         return engine.step(self.cfg, state, actions)

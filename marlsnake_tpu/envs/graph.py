@@ -36,8 +36,7 @@ class GraphSnakeEnv(SnakeEnv):
         self._step_g = jax.jit(functools.partial(self._step_impl))
 
     def _reset_impl(self, key):
-        state, obs = engine.reset(self.cfg, self.candidates,
-                                  self.pool, key)
+        state, obs = engine.reset(self.cfg, self.spawn, key)
         proc = ray_features(self.cfg, obs, state.head, state.direction,
                             state.alive)
         return state, proc

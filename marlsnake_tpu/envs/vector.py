@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from marlsnake_tpu.core import engine
-from marlsnake_tpu.core.spawn import spawn_candidates, spawn_pool
+from marlsnake_tpu.core.spawn import SpawnData, spawn_data
 from marlsnake_tpu.core.state import EnvState
 from marlsnake_tpu.core.types import EnvConfig
 
@@ -32,21 +32,18 @@ def build_vector_fns(cfg: EnvConfig, autoreset: bool = True):
     ``step_fn(states, actions) -> (states, StepOutput)`` with actions (B, N).
     Both are unjitted so they compose into larger jitted/sharded programs.
     """
-    candidates = jnp.asarray(
-        spawn_candidates(cfg.height, cfg.width, cfg.snake_length,
-                         cfg.map_layout))
-    pool = jnp.asarray(
-        spawn_pool(cfg.height, cfg.width, cfg.snake_length,
-                   cfg.num_snakes, map_layout=cfg.map_layout))
-    reset1 = functools.partial(engine.reset, cfg, candidates, pool)
+    sd = spawn_data(cfg.height, cfg.width, cfg.snake_length,
+                    cfg.num_snakes, map_layout=cfg.map_layout)
+    spawn = SpawnData(jnp.asarray(sd.cells))
+    reset1 = functools.partial(engine.reset, cfg, spawn)
     if autoreset:
         # Fused step+reset with an unconditional per-env select: at batch
         # sizes where this path matters some env finishes nearly every
         # step, so a lax.cond would take the reset branch anyway while
         # adding barriers (~1.7ms/step at 4096 envs in device traces) and
         # a second obs encode.
-        step1 = functools.partial(engine.step_autoreset, cfg, candidates,
-                                  pool, reset_salt=_RESET_SALT)
+        step1 = functools.partial(engine.step_autoreset, cfg, spawn,
+                                  reset_salt=_RESET_SALT)
     else:
         step1 = functools.partial(engine.step, cfg)
 

@@ -9,7 +9,8 @@ import numpy as np
 import pytest
 
 from marlsnake_tpu.core import engine
-from marlsnake_tpu.core.spawn import spawn_candidates, spawn_pool
+from marlsnake_tpu.core.spawn import (
+    SpawnData, spawn_candidates, spawn_data, spawn_pool)
 from marlsnake_tpu.core.types import EnvConfig
 from marlsnake_tpu.ops.pallas_step import build_pallas_step
 
@@ -20,13 +21,14 @@ def test_pallas_step_equals_xla_engine(seed):
                     num_fruits=2)
     cand = spawn_candidates(10, 10, 3)
     poolj = jnp.asarray(spawn_pool(10, 10, 3, 2))
-    candj = jnp.asarray(cand)
+    sd = spawn_data(10, 10, 3, 2)
+    spawn = SpawnData(jnp.asarray(sd.cells))
     b = 8
-    reset1 = functools.partial(engine.reset, cfg, candj, poolj)
+    reset1 = functools.partial(engine.reset, cfg, spawn)
     states, _ = jax.vmap(reset1)(
         jax.random.split(jax.random.key(seed), b))
     step_xla = jax.jit(jax.vmap(
-        functools.partial(engine.step_autoreset, cfg, candj, poolj)))
+        functools.partial(engine.step_autoreset, cfg, spawn)))
     step_pl = build_pallas_step(cfg, cand, poolj, env_block=8,
                                 interpret=True)
     rng = np.random.default_rng(seed)
