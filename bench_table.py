@@ -1,0 +1,76 @@
+"""Multi-config benchmark table (BASELINE.md bottom table, machine-readable).
+
+Runs the bench rollout (same harness as bench.py: jitted lax.scan,
+obs consumed via checksum, auto-reset) over the BASELINE.md config matrix
+and writes ``artifacts/BENCH_TABLE.json`` — one entry per config with
+steps/s and the reference comparison point where one exists.
+
+Usage: python bench_table.py  (runs on the real TPU chip; ~5 min of
+compiles on first run).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+from bench import build_rollout
+from marlsnake_tpu.core.maps import load_layout
+from marlsnake_tpu.core.types import EnvConfig
+
+# (tag, num_envs, cfg, reference steps/s or None — BASELINE.md rows)
+CONFIGS = [
+    ('20x20x4_full_obs', 4096,
+     EnvConfig(height=20, width=20, num_snakes=4, snake_length=3), 783.0),
+    ('20x20x4_vision5', 4096,
+     EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
+               vision_range=5), 596.0),
+    ('20x20x4_vision5_framestack2', 4096,
+     EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
+               vision_range=5, frame_stack=2), None),
+    ('20x20cross_x8_framestack4', 4096,
+     EnvConfig(num_snakes=8, snake_length=3, frame_stack=4,
+               map_layout=load_layout('20x20_cross')), None),
+    ('10x10x1', 8192,
+     EnvConfig(height=10, width=10, num_snakes=1, snake_length=3), 616.0),
+]
+
+
+def measure(cfg: EnvConfig, num_envs: int, num_steps: int = 256,
+            iters: int = 3) -> float:
+    init, rollout = build_rollout(cfg, num_envs, num_steps)
+    states = init(jax.random.key(0))
+    states, r = rollout(states, jax.random.key(1))
+    r.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(iters):
+        states, r = rollout(states, jax.random.key(2 + i))
+    r.block_until_ready()
+    return num_envs * num_steps * iters / (time.perf_counter() - t0)
+
+
+def main():
+    rows = []
+    for tag, num_envs, cfg, ref in CONFIGS:
+        sps = measure(cfg, num_envs)
+        row = {
+            'config': tag,
+            'num_envs': num_envs,
+            'steps_per_sec': round(sps, 1),
+            'reference_steps_per_sec': ref,
+            'vs_reference': round(sps / ref, 1) if ref else None,
+        }
+        rows.append(row)
+        print(json.dumps(row))
+    os.makedirs('artifacts', exist_ok=True)
+    with open('artifacts/BENCH_TABLE.json', 'w') as f:
+        json.dump({'unit': 'env-steps/s/chip', 'rows': rows}, f, indent=1)
+    print('wrote artifacts/BENCH_TABLE.json')
+
+
+if __name__ == '__main__':
+    main()

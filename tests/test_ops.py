@@ -124,3 +124,20 @@ def test_ray_features_match_reference_loop(seed):
                           np.asarray(state.direction),
                           np.asarray(state.alive))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_direction_arithmetic_matches_tables():
+    """engine.next_direction / engine.dir_delta are bit-equal to the
+    TURN_SNAKE / TURN_HUMAN / DIR_DELTA tables they replaced (the
+    arithmetic forms avoid slow tiny-table gathers on TPU)."""
+    from marlsnake_tpu.core import engine
+    dirs = jnp.arange(4)
+    acts = jnp.arange(5)
+    d_grid, a_grid = jnp.meshgrid(dirs, acts, indexing='ij')
+    for observer, table in (('snake', T.TURN_SNAKE),
+                            ('human', T.TURN_HUMAN)):
+        cfg = EnvConfig(observer=observer)
+        got = engine.next_direction(cfg, d_grid.ravel(), a_grid.ravel())
+        np.testing.assert_array_equal(np.asarray(got).reshape(4, 5), table)
+    np.testing.assert_array_equal(np.asarray(engine.dir_delta(dirs)),
+                                  T.DIR_DELTA)
