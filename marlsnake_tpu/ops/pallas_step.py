@@ -7,17 +7,19 @@ program that processes a block of envs per grid step, everything resident
 in VMEM.
 
 MEASURED RESULT (TPU v5e, 4096 envs, 20x20x4): the XLA engine runs the
-same step at ~3.3M env-steps/s while this kernel reaches 0.52M at
-env_block=8 (larger blocks exceed the 16MB VMEM scoped limit — the
-one-hot intermediates are (E, N, HW)-shaped). XLA's automatic fusion +
-layout assignment beats the hand-fused formulation for this
-small-grid/many-env shape, so the XLA path stays the default and this
-kernel is an OPT-IN alternative — and a worked example of the
-Pallas port: bit-exact against `engine.step_autoreset` (same RNG
-schedule, verified per-field in tests/test_pallas_step.py), with the
-Mosaic-specific rewrites that is required (one-hot instead of gather,
-triangular-matmul prefix sums instead of cumsum, int32 routing around
-1-bit vector restrictions, >=2D shapes everywhere).
+same step at ~4.9M env-steps/s while this kernel reaches 1.87M at
+env_block=64 (measured 1.75M/1.80M/1.87M at blocks 8/32/64; blocks
+>=128 exceed the 16MB VMEM scoped limit). Moving the obs encode OUT of
+the kernel into an XLA epilogue — its (E, N, HW, 8) intermediates were
+the VMEM hog — took the kernel from 0.52M (block capped at 8) to this.
+XLA's automatic fusion + layout assignment still beats the hand-fused
+formulation for this small-grid/many-env shape, so the XLA path stays
+the default and this kernel is an OPT-IN alternative — and a worked
+example of the Pallas port: bit-exact against `engine.step_autoreset`
+(same RNG schedule, verified per-field in tests/test_pallas_step.py),
+with the Mosaic-specific rewrites that it requires (one-hot instead of
+gather, triangular-matmul prefix sums instead of cumsum, int32 routing
+around 1-bit vector restrictions, >=2D shapes everywhere).
 
 Scope (the high-throughput config class): ``frame_stack == 1``, no
 ``vision_range``. All randomness (fruit draws, reset spawn rows) is
@@ -42,7 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from marlsnake_tpu.core import types as T
 from marlsnake_tpu.core.state import EnvState
-from marlsnake_tpu.core.engine import StepOutput, make_empty_grid
+from marlsnake_tpu.core.engine import (
+    StepOutput, encode_frame as engine_encode_frame, make_empty_grid)
 
 _DIR_DELTA = T.DIR_DELTA  # numpy (4, 2)
 
@@ -55,7 +58,7 @@ def _step_block(cfg: T.EnvConfig, tables, refs):
      kills_ref, elen_ref, actions_ref, fruit_u_ref, spawn_ref,
      rfruit_u_ref,
      o_grid, o_dir, o_headf, o_tailf, o_ring, o_rhead, o_rlen, o_alive,
-     o_acount, o_scores, o_steps, o_fruits, o_kills, o_elen, o_obs,
+     o_acount, o_scores, o_steps, o_fruits, o_kills, o_elen,
      o_rew, o_done, o_rank, o_io_scores, o_io_steps, o_io_fruits,
      o_io_kills, o_doneall) = refs
 
@@ -289,19 +292,9 @@ def _step_block(cfg: T.EnvConfig, tables, refs):
     z = jnp.zeros_like(epi_scores)
     elen_out = jnp.where(done_all, 0, episode_length)
 
-    # --- single obs encode from the selected state ---
-    t = g % 10
-    owner = g // 10
-    mine = owner[:, None, :, None] == ids_hw[..., None]   # (E,N,HW,1)
-    tt = t[:, None, :, None]
-    c = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T.FEATURE_CHANNEL),
-                                 3)
-    env_hit = (c <= 1) & (tt == c + 1)
-    snake_part = (tt >= T.HEAD) & ((c - 2) % 3 == tt - T.HEAD)
-    obs = (env_hit | (snake_part & ((c >= 5) == mine) & (c >= 2))
-           ).astype(jnp.uint8)
-
-    # --- writes ---
+    # --- writes (obs is encoded OUTSIDE the kernel from o_grid: the
+    # (E, N, HW, 8) encode intermediates were the VMEM hog that capped
+    # env_block at 8; without them blocks of 64+ envs fit) ---
     o_grid[:] = g
     o_dir[:] = new_dir
     o_headf[:] = new_headf
@@ -316,7 +309,6 @@ def _step_block(cfg: T.EnvConfig, tables, refs):
     o_fruits[:] = jnp.where(d_all, z, epi_fruits)
     o_kills[:] = jnp.where(d_all, z, epi_kills)
     o_elen[:] = elen_out
-    o_obs[:] = obs
     o_rew[:] = rew
     o_done[:] = dones_out.astype(jnp.int32)
     o_rank[:] = rank.astype(jnp.int32)
@@ -328,7 +320,7 @@ def _step_block(cfg: T.EnvConfig, tables, refs):
 
 
 def build_pallas_step(cfg: T.EnvConfig, candidates, pool,
-                      env_block: int = 8, interpret: bool = False,
+                      env_block: int = 64, interpret: bool = False,
                       reset_salt: int = 0x5EED):
     """Returns step_fn(states, actions) over a (B, ...) batched EnvState,
     equivalent to vmapped ``engine.step_autoreset``."""
@@ -401,7 +393,6 @@ def build_pallas_step(cfg: T.EnvConfig, candidates, pool,
             jax.ShapeDtypeStruct((b, n), f32),         # fruits
             jax.ShapeDtypeStruct((b, n), f32),         # kills
             jax.ShapeDtypeStruct((b, 1), i32),         # elen
-            jax.ShapeDtypeStruct((b, n, hw, T.FEATURE_CHANNEL), u8),
             jax.ShapeDtypeStruct((b, n), f32),         # rew
             jax.ShapeDtypeStruct((b, n), i32),         # done
             jax.ShapeDtypeStruct((b, n), i32),         # rank
@@ -425,7 +416,7 @@ def build_pallas_step(cfg: T.EnvConfig, candidates, pool,
         out_specs = [
             spec(hw), spec(n), spec(n), spec(n), spec(n, cap), spec(n),
             spec(n), spec(n), spec(1), spec(n), spec(n), spec(n), spec(n),
-            spec(1), spec(n, hw, T.FEATURE_CHANNEL), spec(n), spec(n),
+            spec(1), spec(n), spec(n),
             spec(n), spec(n), spec(n), spec(n), spec(n), spec(1),
         ]
         outs = pl.pallas_call(
@@ -445,10 +436,14 @@ def build_pallas_step(cfg: T.EnvConfig, candidates, pool,
           jnp.asarray(actions, i32), fruit_u, spawn_cells, rfruit_u)
 
         (g, dirs, hf, tf, ring, rh, rl, alive, acount, sc, st, fr, ki,
-         el, obs, rew, done, rank, io_sc, io_st, io_fr, io_ki,
+         el, rew, done, rank, io_sc, io_st, io_fr, io_ki,
          doneall) = outs
         head = jnp.stack([hf // w, hf % w], -1)
         tail = jnp.stack([tf // w, tf % w], -1)
+        # obs encode as an XLA epilogue on the kernel's grid output —
+        # identical code path to the XLA engine, so bit-exactness holds
+        obs = jax.vmap(functools.partial(engine_encode_frame, cfg))(
+            g.reshape(b, h, w), head, alive > 0)
         done_b = doneall[:, 0] > 0
         key_out = jnp.where(done_b, k_state, new_keys)
         new_state = states.replace(
@@ -459,7 +454,7 @@ def build_pallas_step(cfg: T.EnvConfig, candidates, pool,
             epi_fruits=fr, epi_kills=ki, episode_length=el[:, 0],
             key=key_out)
         out = StepOutput(
-            obs=obs.reshape(b, n, h, w, T.FEATURE_CHANNEL),
+            obs=obs,
             reward=rew, done=done > 0, rank=rank,
             episode_scores=io_sc, episode_steps=io_st,
             episode_fruits=io_fr, episode_kills=io_ki,
