@@ -181,7 +181,13 @@ class PPOTrainer:
             # auto-reset clears per-agent done at episode end
             agent_done_next = jnp.where(ep_done[:, None], False, out.done)
 
-            step_data = dict(obs=obs, action=action, logprob=logprob,
+            # obs stored FLAT (E*N, H*W*C): scan-stacking the 5-D obs
+            # makes XLA layout-transpose the whole (T, E, N, H, W, C)
+            # trajectory twice per update (27ms/update in traces); a 2-D
+            # row per step has one canonical layout and the minibatch
+            # consumer reshapes after its gather
+            step_data = dict(obs=obs.reshape(e * n, -1), action=action,
+                             logprob=logprob,
                              value=value, reward=rew, valid=valid,
                              next_done=out.done | ep_done[:, None])
             return (new_env_states, obs_next_of(out), agent_done_next, key,
@@ -227,7 +233,8 @@ class PPOTrainer:
         def fl(x):
             return x.reshape((b,) + x.shape[3:])
 
-        batch = dict(obs=fl(traj['obs']), action=fl(traj['action']),
+        batch = dict(obs=traj['obs'].reshape(b, -1),
+                     action=fl(traj['action']),
                      logprob=fl(traj['logprob']), value=fl(traj['value']),
                      adv=fl(advantages), ret=fl(returns),
                      valid=fl(traj['valid']))
@@ -236,7 +243,9 @@ class PPOTrainer:
         mb = b // cfg.num_minibatches
 
         def loss_fn(params, mbatch):
-            logits, value = self.net.apply(params, mbatch['obs'])
+            mb_obs = mbatch['obs'].reshape(
+                (mbatch['obs'].shape[0],) + self.env_cfg.obs_shape[1:])
+            logits, value = self.net.apply(params, mb_obs)
             logp_all = jax.nn.log_softmax(logits)
             logp = jnp.take_along_axis(logp_all, mbatch['action'][:, None],
                                        -1)[:, 0]

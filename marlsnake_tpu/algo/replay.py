@@ -18,13 +18,22 @@ from flax import struct
 
 @struct.dataclass
 class ReplayBuffer:
-    obs: jnp.ndarray        # (cap, *obs_shape) uint8
+    # obs/next_obs are stored FLAT (cap, prod(obs_shape)): with the
+    # natural (cap, H, W, C) shape XLA assigns the buffer different
+    # layouts at the episode-scan boundary vs the conv consumer and
+    # inserts two strided layout-transpose copies of the ENTIRE buffer
+    # per episode (205ms/episode at capacity 10000 in device traces);
+    # a 2D buffer has one canonical layout and the reshape after the
+    # 512-row sample gather is negligible.
+    obs: jnp.ndarray        # (cap, prod(obs_shape)) uint8
     action: jnp.ndarray     # (cap,) int32
     reward: jnp.ndarray     # (cap,) float32
-    next_obs: jnp.ndarray   # (cap, *obs_shape) uint8
+    next_obs: jnp.ndarray   # (cap, prod(obs_shape)) uint8
     done: jnp.ndarray       # (cap,) bool
     ptr: jnp.ndarray        # () int32
     size: jnp.ndarray       # () int32
+    obs_shape: Tuple[int, ...] = struct.field(pytree_node=False,
+                                              default=())
 
     @property
     def capacity(self) -> int:
@@ -32,14 +41,17 @@ class ReplayBuffer:
 
 
 def create(capacity: int, obs_shape: Tuple[int, ...]) -> ReplayBuffer:
+    import math
+    flat = math.prod(obs_shape)
     return ReplayBuffer(
-        obs=jnp.zeros((capacity,) + tuple(obs_shape), jnp.uint8),
+        obs=jnp.zeros((capacity, flat), jnp.uint8),
         action=jnp.zeros((capacity,), jnp.int32),
         reward=jnp.zeros((capacity,), jnp.float32),
-        next_obs=jnp.zeros((capacity,) + tuple(obs_shape), jnp.uint8),
+        next_obs=jnp.zeros((capacity, flat), jnp.uint8),
         done=jnp.zeros((capacity,), bool),
         ptr=jnp.int32(0),
         size=jnp.int32(0),
+        obs_shape=tuple(obs_shape),
     )
 
 
@@ -61,13 +73,14 @@ def push(buf: ReplayBuffer, obs, action, reward, next_obs, done,
     num = mask.sum().astype(jnp.int32)
 
     return buf.replace(
-        obs=buf.obs.at[slots].set(obs.astype(jnp.uint8), mode='drop'),
+        obs=buf.obs.at[slots].set(
+            obs.astype(jnp.uint8).reshape(n, -1), mode='drop'),
         action=buf.action.at[slots].set(action.astype(jnp.int32),
                                         mode='drop'),
         reward=buf.reward.at[slots].set(reward.astype(jnp.float32),
                                         mode='drop'),
-        next_obs=buf.next_obs.at[slots].set(next_obs.astype(jnp.uint8),
-                                            mode='drop'),
+        next_obs=buf.next_obs.at[slots].set(
+            next_obs.astype(jnp.uint8).reshape(n, -1), mode='drop'),
         done=buf.done.at[slots].set(done.astype(bool), mode='drop'),
         ptr=(buf.ptr + num) % cap,
         size=jnp.minimum(buf.size + num, cap),
@@ -95,5 +108,7 @@ def sample(buf: ReplayBuffer, key, batch_size: int,
         u = u + (jnp.arange(cap) >= buf.size) * 2.0
         idx = jnp.argsort(u)[:batch_size]
         idx = idx % jnp.maximum(buf.size, 1)
-    return (buf.obs[idx], buf.action[idx], buf.reward[idx],
-            buf.next_obs[idx], buf.done[idx])
+    bshape = (batch_size,) + buf.obs_shape
+    return (buf.obs[idx].reshape(bshape), buf.action[idx],
+            buf.reward[idx], buf.next_obs[idx].reshape(bshape),
+            buf.done[idx])

@@ -106,7 +106,8 @@ class DistributedDQN:
             reward=rep(buf.reward), next_obs=rep(buf.next_obs),
             done=rep(buf.done),
             ptr=jnp.zeros((self.ndev,), jnp.int32),
-            size=jnp.zeros((self.ndev,), jnp.int32))
+            size=jnp.zeros((self.ndev,), jnp.int32),
+            obs_shape=buf.obs_shape)
         ts = local.replace(buffer=gbuf)
         # lay out on the mesh
         specs = _state_specs(ts)
