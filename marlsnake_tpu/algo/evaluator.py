@@ -155,23 +155,21 @@ def masked_actions(obs: jnp.ndarray, q: jnp.ndarray, cur_dirs: jnp.ndarray,
     return acts, dirs
 
 
-def evaluate_batch(net, params, cfg, num_envs: int = 256,
-                   max_steps: int = 512, flood_limit: int = 60,
-                   key=None):
-    """Fully on-device batched evaluation with safety masking.
+def build_evaluate_batch(net, cfg, num_envs: int = 256,
+                         max_steps: int = 512, flood_limit: int = 60):
+    """Build the jitted batched-evaluation program ``run(params, key)``.
 
     The reference evaluates one env at a time with a Python frame loop
     (train_dqn.py:582-676); here ``num_envs`` episodes run simultaneously
     as one jitted ``lax.scan`` — masked policy, env step, and per-env
-    freeze-on-done included. Returns (mean_reward, mean_timelife) averaged
-    over envs and snakes.
+    freeze-on-done included. ``run`` returns (mean_reward, mean_timelife)
+    averaged over envs and snakes. Params are a runtime argument so
+    evaluating successive checkpoints never recompiles.
     """
     from marlsnake_tpu.envs.vector import build_vector_fns
 
     n = cfg.num_snakes
     reset_fn, step_fn = build_vector_fns(cfg, autoreset=False)
-    if key is None:
-        key = jax.random.key(0)
 
     def policy(params, obs, dirs, active):
         e = obs.shape[0]
@@ -182,7 +180,7 @@ def evaluate_batch(net, params, cfg, num_envs: int = 256,
         )(obs, q, dirs, active)
 
     @jax.jit
-    def run(key):
+    def run(params, key):
         states, obs = reset_fn(jax.random.split(key, num_envs))
 
         def body(carry, _):
@@ -211,7 +209,28 @@ def evaluate_batch(net, params, cfg, num_envs: int = 256,
             init=init, f=body, xs=None, length=max_steps)
         return rew.mean(), life.mean()
 
-    r, t = run(key)
+    return run
+
+
+# flax modules and EnvConfig are hashable -> compiled programs cached
+# across evaluate_batch calls (a fresh jit per call cost 30-50s of
+# recompile on every battle/eval invocation)
+_EVAL_CACHE = {}
+
+
+def evaluate_batch(net, params, cfg, num_envs: int = 256,
+                   max_steps: int = 512, flood_limit: int = 60,
+                   key=None):
+    """Fully on-device batched evaluation with safety masking; see
+    :func:`build_evaluate_batch`."""
+    cache_key = (net, cfg, num_envs, max_steps, flood_limit)
+    run = _EVAL_CACHE.get(cache_key)
+    if run is None:
+        run = _EVAL_CACHE[cache_key] = build_evaluate_batch(
+            net, cfg, num_envs, max_steps, flood_limit)
+    if key is None:
+        key = jax.random.key(0)
+    r, t = run(params, key)
     return float(r), float(t)
 
 
