@@ -1,0 +1,166 @@
+"""Vision-window encode experiments (NEXT_STEPS item 1).
+
+Measures full-rollout throughput (bench.build_rollout, vision_range=5)
+with alternative implementations of ``encode_frame_cropped`` monkeypatched
+into the engine. Each variant is bit-checked against the baseline on a
+small batch first.
+
+Usage: python tools/exp_vision.py [variant ...]   (default: all)
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from marlsnake_tpu.core import engine
+from marlsnake_tpu.core import types as T
+from marlsnake_tpu.core.types import EnvConfig
+
+BASELINE = engine.encode_frame_cropped
+
+
+def _channels(win, n):
+    """Shared elementwise channel encode of a gathered int window."""
+    t = win % 10
+    owner = win // 10
+    ids = jnp.arange(n).reshape(n, 1, 1, 1)
+    mine = owner[..., None] == ids
+    tt = t[..., None]
+    c = jnp.arange(T.FEATURE_CHANNEL).reshape(1, 1, 1, -1)
+    env_hit = (c <= 1) & (tt == c + 1)
+    snake_part = (tt >= T.HEAD) & ((c - 2) % 3 == tt - T.HEAD)
+    snake_hit = snake_part & ((c >= 5) == mine) & (c >= 2)
+    return (env_hit | snake_hit).astype(jnp.uint8)
+
+
+def v_packed(cfg, grid, head, alive):
+    """Encode the full grid to 8 channel bits packed into one f32 per
+    cell PER SNAKE, window the packed plane with the same two one-hot
+    einsums, then unpack bits."""
+    n = cfg.num_snakes
+    h, w = cfg.height, cfg.width
+    v = cfg.vision_range
+    v2 = 2 * v + 1
+    frame = engine.encode_frame(cfg, grid, head, alive)  # (N, H, W, 8) u8
+    weights = (1 << jnp.arange(T.FEATURE_CHANNEL)).astype(jnp.int32)
+    packed = (frame.astype(jnp.int32) * weights).sum(-1).astype(jnp.float32)
+    center = jnp.where(alive[:, None], head, 0)
+    ry = center[:, 0, None] + jnp.arange(v2) - v
+    cx = center[:, 1, None] + jnp.arange(v2) - v
+    ry_oh = (ry[:, :, None] == jnp.arange(h)).astype(jnp.float32)
+    cx_oh = (cx[:, :, None] == jnp.arange(w)).astype(jnp.float32)
+    tmp = jnp.einsum('nyh,nhw->nyw', ry_oh, packed)
+    win = jnp.einsum('nxw,nyw->nyx', cx_oh, tmp).astype(jnp.int32)
+    c = jnp.arange(T.FEATURE_CHANNEL).reshape(1, 1, 1, -1)
+    return ((win[..., None] >> c) & 1).astype(jnp.uint8)
+
+
+def v_colfirst(cfg, grid, head, alive):
+    """Baseline with the contraction order swapped (columns first)."""
+    n = cfg.num_snakes
+    h, w = cfg.height, cfg.width
+    v = cfg.vision_range
+    v2 = 2 * v + 1
+    center = jnp.where(alive[:, None], head, 0)
+    ry = center[:, 0, None] + jnp.arange(v2) - v
+    cx = center[:, 1, None] + jnp.arange(v2) - v
+    ry_oh = (ry[:, :, None] == jnp.arange(h)).astype(jnp.float32)
+    cx_oh = (cx[:, :, None] == jnp.arange(w)).astype(jnp.float32)
+    tmp = jnp.einsum('nxw,hw->nxh', cx_oh, grid.astype(jnp.float32))
+    win = jnp.einsum('nyh,nxh->nyx', ry_oh, tmp).astype(jnp.int32)
+    return _channels(win, n)
+
+
+def v_flat_onehot(cfg, grid, head, alive):
+    """Single flat-cell one-hot contraction: win = onehot(idx) @ flat."""
+    n = cfg.num_snakes
+    h, w = cfg.height, cfg.width
+    v = cfg.vision_range
+    v2 = 2 * v + 1
+    center = jnp.where(alive[:, None], head, 0)
+    ry = center[:, 0, None] + jnp.arange(v2) - v          # (N, y)
+    cx = center[:, 1, None] + jnp.arange(v2) - v          # (N, x)
+    inb = ((ry >= 0) & (ry < h))[:, :, None] & \
+          ((cx >= 0) & (cx < w))[:, None, :]
+    idx = jnp.where(inb, ry[:, :, None] * w + cx[:, None, :], -1)
+    oh = (idx[..., None] == jnp.arange(h * w)).astype(jnp.float32)
+    win = jnp.einsum('nyxF,F->nyx', oh,
+                     grid.reshape(-1).astype(jnp.float32)).astype(jnp.int32)
+    return _channels(win, n)
+
+
+def v_transposed_out(cfg, grid, head, alive):
+    """Baseline einsums but emit (N, x, y) then one explicit transpose,
+    giving XLA a different layout seam to fuse through."""
+    n = cfg.num_snakes
+    h, w = cfg.height, cfg.width
+    v = cfg.vision_range
+    v2 = 2 * v + 1
+    center = jnp.where(alive[:, None], head, 0)
+    ry = center[:, 0, None] + jnp.arange(v2) - v
+    cx = center[:, 1, None] + jnp.arange(v2) - v
+    ry_oh = (ry[:, :, None] == jnp.arange(h)).astype(jnp.float32)
+    cx_oh = (cx[:, :, None] == jnp.arange(w)).astype(jnp.float32)
+    tmp = jnp.einsum('nyh,hw->nyw', ry_oh, grid.astype(jnp.float32))
+    win_t = jnp.einsum('nyw,nxw->nxy', tmp, cx_oh).astype(jnp.int32)
+    return _channels(jnp.swapaxes(win_t, 1, 2), n)
+
+
+VARIANTS = {
+    'baseline': BASELINE,
+    'packed': v_packed,
+    'colfirst': v_colfirst,
+    'flat_onehot': v_flat_onehot,
+    'transposed_out': v_transposed_out,
+}
+
+
+def check(fn, cfg):
+    """Bit-check variant vs baseline on a small random batch (CPU-ok)."""
+    key = jax.random.key(0)
+    grid = jax.random.randint(key, (cfg.height, cfg.width), 0, 48)
+    head = jax.random.randint(jax.random.key(1), (cfg.num_snakes, 2), 0,
+                              cfg.height)
+    alive = jnp.array([True, True, False, True])
+    a = BASELINE(cfg, grid, head, alive)
+    b = fn(cfg, grid, head, alive)
+    assert (a == b).all(), 'variant mismatch'
+
+
+def measure(name, fn, num_envs=4096, num_steps=256, iters=3):
+    from bench import build_rollout
+    engine.encode_frame_cropped = fn
+    try:
+        cfg = EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
+                        vision_range=5)
+        check(fn, cfg)
+        init, rollout = build_rollout(cfg, num_envs, num_steps)
+        states = init(jax.random.key(0))
+        states, r = rollout(states, jax.random.key(1))
+        r.block_until_ready()
+        t0 = time.perf_counter()
+        for i in range(iters):
+            states, r = rollout(states, jax.random.key(2 + i))
+        r.block_until_ready()
+        dt = time.perf_counter() - t0
+        sps = num_envs * num_steps * iters / dt
+        print(f'{name:16s} {sps/1e6:8.2f} M env-steps/s')
+        return sps
+    finally:
+        engine.encode_frame_cropped = BASELINE
+
+
+def main():
+    names = sys.argv[1:] or list(VARIANTS)
+    for name in names:
+        measure(name, VARIANTS[name])
+
+
+if __name__ == '__main__':
+    main()
