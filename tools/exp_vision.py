@@ -112,12 +112,108 @@ def v_transposed_out(cfg, grid, head, alive):
     return _channels(jnp.swapaxes(win_t, 1, 2), n)
 
 
+def v_colfirst_bf16(cfg, grid, head, alive):
+    """colfirst with bf16 one-hot contractions (MXU bf16 is 2x f32;
+    cell values < 128 and one-hot sums are exact in bf16)."""
+    n = cfg.num_snakes
+    h, w = cfg.height, cfg.width
+    v = cfg.vision_range
+    v2 = 2 * v + 1
+    center = jnp.where(alive[:, None], head, 0)
+    ry = center[:, 0, None] + jnp.arange(v2) - v
+    cx = center[:, 1, None] + jnp.arange(v2) - v
+    ry_oh = (ry[:, :, None] == jnp.arange(h)).astype(jnp.bfloat16)
+    cx_oh = (cx[:, :, None] == jnp.arange(w)).astype(jnp.bfloat16)
+    tmp = jnp.einsum('nxw,hw->nxh', cx_oh, grid.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.bfloat16)
+    win = jnp.einsum('nyh,nxh->nyx', ry_oh, tmp,
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    return _channels(win, n)
+
+
+def v_rowfirst_bf16(cfg, grid, head, alive):
+    """Baseline contraction order, bf16 operands."""
+    n = cfg.num_snakes
+    h, w = cfg.height, cfg.width
+    v = cfg.vision_range
+    v2 = 2 * v + 1
+    center = jnp.where(alive[:, None], head, 0)
+    ry = center[:, 0, None] + jnp.arange(v2) - v
+    cx = center[:, 1, None] + jnp.arange(v2) - v
+    ry_oh = (ry[:, :, None] == jnp.arange(h)).astype(jnp.bfloat16)
+    cx_oh = (cx[:, :, None] == jnp.arange(w)).astype(jnp.bfloat16)
+    tmp = jnp.einsum('nyh,hw->nyw', ry_oh, grid.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.bfloat16)
+    win = jnp.einsum('nxw,nyw->nyx', cx_oh, tmp,
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    return _channels(win, n)
+
+
+def v_colfirst_elem(cfg, grid, head, alive):
+    """colfirst contraction order but as fused elementwise
+    where+reduce instead of matmuls (no MXU, no layout seams)."""
+    n = cfg.num_snakes
+    h, w = cfg.height, cfg.width
+    v = cfg.vision_range
+    v2 = 2 * v + 1
+    center = jnp.where(alive[:, None], head, 0)
+    ry = center[:, 0, None] + jnp.arange(v2) - v
+    cx = center[:, 1, None] + jnp.arange(v2) - v
+    # tmp[n, x, h] = grid[h, cx[n, x]]
+    sel_c = cx[:, :, None, None] == jnp.arange(w)          # (N, x, 1, W)
+    tmp = jnp.where(sel_c, grid[None, None], 0).sum(-1)    # (N, x, H)
+    sel_r = ry[:, None, :, None] == jnp.arange(h)          # (N, 1, y, H)
+    win = jnp.where(sel_r, tmp[:, :, None, :], 0).sum(-1)  # (N, x, y)
+    return _channels(jnp.swapaxes(win, 1, 2), n)
+
+
+def v_rowfirst_elem(cfg, grid, head, alive):
+    """Elementwise where+reduce, rows first, output directly (N, y, x)
+    (no transpose at all)."""
+    n = cfg.num_snakes
+    h, w = cfg.height, cfg.width
+    v = cfg.vision_range
+    v2 = 2 * v + 1
+    center = jnp.where(alive[:, None], head, 0)
+    ry = center[:, 0, None] + jnp.arange(v2) - v
+    cx = center[:, 1, None] + jnp.arange(v2) - v
+    # tmp[n, y, w] = grid[ry[n, y], w]
+    sel_r = ry[:, :, None, None] == jnp.arange(h)[:, None]  # (N, y, H, 1)
+    tmp = jnp.where(sel_r, grid[None, None], 0).sum(2)      # (N, y, W)
+    sel_c = cx[:, None, :, None] == jnp.arange(w)           # (N, 1, x, W)
+    win = jnp.where(sel_c, tmp[:, :, None, :], 0).sum(-1)   # (N, y, x)
+    return _channels(win, n)
+
+
+def v_rowfirst_elem_i8(cfg, grid, head, alive):
+    """rowfirst_elem with int16 intermediates (grid values < 2^7 but
+    cell = type + 10*idx can reach 10n+5; int16 is safe for any n)."""
+    n = cfg.num_snakes
+    h, w = cfg.height, cfg.width
+    v = cfg.vision_range
+    v2 = 2 * v + 1
+    g16 = grid.astype(jnp.int16)
+    center = jnp.where(alive[:, None], head, 0)
+    ry = center[:, 0, None] + jnp.arange(v2) - v
+    cx = center[:, 1, None] + jnp.arange(v2) - v
+    sel_r = ry[:, :, None, None] == jnp.arange(h)[:, None]
+    tmp = jnp.where(sel_r, g16[None, None], 0).sum(2)
+    sel_c = cx[:, None, :, None] == jnp.arange(w)
+    win = jnp.where(sel_c, tmp[:, :, None, :], 0).sum(-1)
+    return _channels(win.astype(jnp.int32), n)
+
+
 VARIANTS = {
     'baseline': BASELINE,
     'packed': v_packed,
     'colfirst': v_colfirst,
     'flat_onehot': v_flat_onehot,
     'transposed_out': v_transposed_out,
+    'colfirst_bf16': v_colfirst_bf16,
+    'rowfirst_bf16': v_rowfirst_bf16,
+    'colfirst_elem': v_colfirst_elem,
+    'rowfirst_elem': v_rowfirst_elem,
+    'rowfirst_elem_i8': v_rowfirst_elem_i8,
 }
 
 
