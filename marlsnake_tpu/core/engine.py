@@ -145,8 +145,8 @@ def encode_frame(cfg: T.EnvConfig, grid: jnp.ndarray, head: jnp.ndarray,
     other-body, other-tail, my-head, my-body, my-tail.
     """
     n = cfg.num_snakes
-    t = grid % 10
-    owner = grid // 10
+    t = T.cell_type(grid)
+    owner = T.cell_owner(grid)
     ids = jnp.arange(n).reshape(n, 1, 1, 1)
     mine = owner[None, ..., None] == ids        # (N, H, W, 1)
     tt = t[None, ..., None]                     # (1, H, W, 1)
@@ -203,8 +203,8 @@ def encode_frame_cropped(cfg: T.EnvConfig, grid: jnp.ndarray,
     win = jnp.swapaxes(
         jnp.where(sel_r, tmp[:, :, None, :], 0).sum(-1), 1, 2)  # (N, y, x)
 
-    t = win % 10
-    owner = win // 10
+    t = T.cell_type(win)
+    owner = T.cell_owner(win)
     ids = jnp.arange(n).reshape(n, 1, 1, 1)
     mine = owner[..., None] == ids
     tt = t[..., None]
@@ -274,7 +274,7 @@ def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray) -> EnvState:
     coords = jnp.stack([cell_flat // w, cell_flat % w], -1)  # (N, k, 2)
     grid = make_empty_grid(cfg)
     flat = grid.reshape(-1)
-    snake_ids = jnp.arange(n, dtype=jnp.int32) * 10
+    snake_ids = jnp.arange(n, dtype=jnp.int32) << T.OWNER_SHIFT
     # Paint body, then head, then tail (reference snake_env.py:138-144),
     # as dense one-hot writes (cells are disjoint across snakes).
     flat = dense_set_1d(flat, cell_flat.reshape(-1),
@@ -392,8 +392,8 @@ def _step_core(cfg: T.EnvConfig, state: EnvState,
     tgt_onehot = tgt_flat_idx[:, None] == jnp.arange(hw)[None, :]
     tgt_cell = (jnp.where(tgt_onehot, grid.reshape(-1)[None, :], 0)
                 ).sum(axis=1)
-    tgt_type = tgt_cell % 10
-    tgt_owner = jnp.clip(tgt_cell // 10, 0, n - 1)
+    tgt_type = T.cell_type(tgt_cell)
+    tgt_owner = jnp.clip(T.cell_owner(tgt_cell), 0, n - 1)
     same_tgt = ((tgt[:, None, 0] == tgt[None, :, 0])
                 & (tgt[:, None, 1] == tgt[None, :, 1])
                 & alive0[:, None] & alive0[None, :])
@@ -443,8 +443,8 @@ def _step_core(cfg: T.EnvConfig, state: EnvState,
     kills_stat = jnp.where(was_dead, 0.0, kills_delta)
 
     # --- Phase 6: grid update (masked writes in an order-equivalent order) --
-    t_pre = grid % 10
-    owner_pre = grid // 10
+    t_pre = T.cell_type(grid)
+    owner_pre = T.cell_owner(grid)
     # cell erased iff its owner died now: per-env death BITMASK tested
     # with a per-cell shift — one (H, W) pass instead of an (N, H, W)
     # broadcast-compare-any (4.1ms -> ~1ms at 4096 envs in traces)
@@ -454,7 +454,7 @@ def _step_core(cfg: T.EnvConfig, state: EnvState,
 
     head_flat = state.head[:, 0] * w + state.head[:, 1]
     tail_flat = state.tail[:, 0] * w + state.tail[:, 1]
-    snake_ids = idx_n.astype(jnp.int32) * 10
+    snake_ids = idx_n.astype(jnp.int32) << T.OWNER_SHIFT
     # old head -> BODY for survivors
     flat = dense_set_1d(flat, head_flat, T.BODY + snake_ids, alive1)
     # retracting tails -> EMPTY

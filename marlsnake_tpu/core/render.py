@@ -45,15 +45,15 @@ FANCY_SNAKES = [(80, 200, 120), (80, 160, 240), (200, 100, 240),
 
 
 def render_ascii(grid: np.ndarray) -> str:
-    t = np.asarray(grid) % 10
+    t = T.cell_type(np.asarray(grid))
     return '\n'.join(''.join(SYM2CHR[int(v)] for v in row) for row in t)
 
 
 def rgb_from_grid(grid: np.ndarray) -> np.ndarray:
     """(H, W, 3) uint8 flat render; vectorized (no per-cell Python loop)."""
     grid = np.asarray(grid)
-    t = grid % 10
-    owner = grid // 10
+    t = T.cell_type(grid)
+    owner = T.cell_owner(grid)
     out = np.zeros((*grid.shape, 3), dtype=np.float32)
     out[t == T.WALL] = CELL_COLORS[T.WALL][0]
     out[t == T.FRUIT] = CELL_COLORS[T.FRUIT][0]
@@ -89,8 +89,8 @@ def render_fancy(grid: np.ndarray, directions: Optional[np.ndarray] = None,
     h, w = grid.shape
     img = Image.new('RGB', (w * cell_size, h * cell_size), FANCY_BG)
     draw = ImageDraw.Draw(img)
-    t = grid % 10
-    owner = grid // 10
+    t = T.cell_type(grid)
+    owner = T.cell_owner(grid)
 
     for r in range(h):
         for c in range(w):

@@ -26,7 +26,7 @@ from marlsnake_tpu.core import types as T
 
 @struct.dataclass
 class EnvState:
-    # (H, W) int32 — cell = cell_type + 10 * snake_idx
+    # (H, W) int32 — cell = cell_type | (snake_idx << types.OWNER_SHIFT)
     # (same field encoding as reference envs/snake_env.py:140-144)
     grid: jnp.ndarray
     # (N,) int32 — current heading index into DIR_DELTA
@@ -107,6 +107,6 @@ def tail_direction(ring: jnp.ndarray, ring_head: jnp.ndarray,
 
 def body_coords_mask(state: EnvState, snake_idx: int) -> jnp.ndarray:
     """(H, W) bool mask of cells owned by ``snake_idx`` (head+body+tail)."""
-    t = state.grid % 10
-    owner = state.grid // 10
+    t = T.cell_type(state.grid)
+    owner = T.cell_owner(state.grid)
     return (t >= T.HEAD) & (owner == snake_idx)

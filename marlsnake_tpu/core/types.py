@@ -4,7 +4,8 @@ Semantics contract: this module mirrors the cell/direction model of the
 reference implementation (``/root/reference/marlenv/marlenv/core/snake.py:5-49``)
 but re-encodes it for fixed-shape, compiler-friendly array programs:
 
-* Cells are small ints; a grid cell stores ``cell_type + 10 * snake_idx``
+* Cells are small ints; a grid cell stores ``cell_type | (snake_idx << 4)``
+  (the reference uses ``cell_type + 10 * snake_idx`` — same information)
   (reference: ``envs/snake_env.py:140-144`` writes, ``:527,538`` decode).
 * Directions are indices into a delta table instead of an Enum with
   ``__radd__`` magic (reference: ``core/snake.py:33-49``); the relative-turn
@@ -26,6 +27,30 @@ FRUIT = 2
 HEAD = 3
 BODY = 4
 TAIL = 5
+
+# Cell packing: cell = type | (owner << OWNER_SHIFT). The reference packs
+# cell = type + 10 * owner (snake_env.py:140-144); a power-of-two shift is
+# semantically identical (bijective re-encoding) but decodes with
+# single-cycle bit ops on the TPU VPU — s32 division by 10 was a
+# multi-instruction sequence costing ~10% of the whole step in device
+# traces. Works for python ints, numpy, and jnp arrays alike.
+OWNER_SHIFT = 4
+TYPE_MASK = (1 << OWNER_SHIFT) - 1
+
+
+def cell_type(cell):
+    """Cell-type field (EMPTY..TAIL) of packed cell value(s)."""
+    return cell & TYPE_MASK
+
+
+def cell_owner(cell):
+    """Owning snake index of packed cell value(s) (0 for env cells)."""
+    return cell >> OWNER_SHIFT
+
+
+def pack_cell(ctype, owner):
+    """Pack type + owner into a cell value."""
+    return ctype + (owner << OWNER_SHIFT)
 
 # Number of feature channels in the observation encoding
 # (reference envs/constants.py:1-2).

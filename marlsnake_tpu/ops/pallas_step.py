@@ -103,8 +103,8 @@ def _step_block(cfg: T.EnvConfig, tables, refs):
     # --- Phase 2: collision vs pre-move grid ---
     tgt_oh = (tgt[:, :, None] == iota_hw)  # (E, N, HW)
     tgt_cell = jnp.where(tgt_oh, grid[:, None, :], 0).sum(2)
-    tgt_type = tgt_cell % 10
-    tgt_owner = jnp.clip(tgt_cell // 10, 0, n - 1)
+    tgt_type = T.cell_type(tgt_cell)
+    tgt_owner = jnp.clip(T.cell_owner(tgt_cell), 0, n - 1)
     same_tgt = ((tgt[:, :, None] == tgt[:, None, :])
                 & bx(alive0, 2) & bx(alive0, 1))  # (E, N, N)
     multi = same_tgt.astype(jnp.int32).sum(2) >= 2
@@ -154,15 +154,16 @@ def _step_block(cfg: T.EnvConfig, tables, refs):
 
     # --- Phase 6: grid update (erase dead -> BODY -> tail erase -> HEAD
     # -> TAIL), all as one-hot masked selects over (E, N, HW) ---
-    t_pre = grid % 10
-    owner_pre = grid // 10
+    t_pre = T.cell_type(grid)
+    owner_pre = T.cell_owner(grid)
     ids_hw = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
     dead_owner = (bx(dead_now, 2)
                   & (owner_pre[:, None, :] == ids_hw)
                   ).astype(jnp.int32).max(1) > 0
     g = jnp.where((t_pre >= T.HEAD) & dead_owner, T.EMPTY, grid)
 
-    snake_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) * 10
+    snake_ids = (jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+                 << T.OWNER_SHIFT)
 
     def write(g, cells, vals, valid):
         # last-writer-wins over snakes (cells disjoint across snakes);

@@ -135,7 +135,7 @@ class OracleEnv:
 
         self.snakes = [_Snake(i, c) for i, c in enumerate(chosen)]
         for s in self.snakes:
-            sid = 10 * s.idx
+            sid = T.pack_cell(0, s.idx)
             for coord in s.coords:
                 grid[coord] = T.BODY + sid
             grid[s.head] = T.HEAD + sid
@@ -209,13 +209,13 @@ class OracleEnv:
         fruit_taken = 0
         for coord, idxes in next_heads.items():
             cell = int(grid[coord])
-            ctype = cell % 10
+            ctype = T.cell_type(cell)
             if len(idxes) > 1 or ctype in (T.WALL, T.BODY, T.HEAD):
                 dead.update(idxes)
                 if ctype == T.FRUIT:
                     fruit_taken += 1
                 if ctype in (T.BODY, T.HEAD):
-                    self.snakes[cell // 10].kills += 1
+                    self.snakes[T.cell_owner(cell)].kills += 1
             elif ctype == T.FRUIT:
                 eaters.extend(idxes)
                 fruit_taken += 1
@@ -310,7 +310,7 @@ class OracleEnv:
         """Sequential per-snake grid update (snake_env.py:546-566)."""
         grid = self.grid
         if s.alive:
-            sid = 10 * s.idx
+            sid = T.pack_cell(0, s.idx)
             grid[s.head] = T.BODY + sid
             prev_tail = s.move()
             if prev_tail is not None:
@@ -320,7 +320,7 @@ class OracleEnv:
             grid[s.tail] = T.TAIL + sid
         else:
             coords = s.coords
-            if grid[coords[-1]] // 10 != s.idx:
+            if T.cell_owner(grid[coords[-1]]) != s.idx:
                 coords = coords[:-1]
             for c in coords:
                 grid[c] = T.EMPTY
@@ -332,8 +332,8 @@ class OracleEnv:
         cfg = self.cfg
         n = cfg.num_snakes
         grid = self.grid
-        t = grid % 10
-        o = grid // 10
+        t = T.cell_type(grid)
+        o = T.cell_owner(grid)
         frames = np.zeros((n, *grid.shape, T.FEATURE_CHANNEL),
                           dtype=np.uint8)
         for i in range(n):

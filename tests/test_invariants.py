@@ -14,8 +14,8 @@ from marlsnake_tpu.envs.env import make_env
 
 def check_invariants(cfg, state, t):
     grid = np.asarray(state.grid)
-    tcell = grid % 10
-    owner = grid // 10
+    tcell = T.cell_type(grid)
+    owner = T.cell_owner(grid)
     alive = np.asarray(state.alive)
     n = cfg.num_snakes
 

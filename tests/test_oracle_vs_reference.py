@@ -16,8 +16,17 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from marlsnake_tpu.core import types as T
 from marlsnake_tpu.core.types import EnvConfig
 from marlsnake_tpu.oracle import OracleEnv
+
+
+def canon_oracle_grid(grid):
+    """Re-encode the oracle's bit-packed cells (type | owner<<4) into the
+    reference's decimal packing (type + 10*owner) so grids compare
+    bit-exactly — the packings are bijective re-encodings of the same
+    (type, owner) state."""
+    return T.cell_type(grid) + 10 * T.cell_owner(grid)
 
 try:
     from ref_shim import load_reference_snake_env
@@ -64,10 +73,11 @@ def run_oracle(params, seed, steps, actions_list):
     oracle = OracleEnv(cfg, rng_mode='ref')
     np.random.seed(seed)
     obs = oracle.reset()
-    traj = [dict(obs=np.array(obs), grid=oracle.grid.copy())]
+    traj = [dict(obs=np.array(obs), grid=canon_oracle_grid(oracle.grid))]
     for t in range(steps):
         obs, rews, dones, info = oracle.step(list(actions_list[t]))
-        traj.append(dict(obs=np.array(obs), grid=oracle.grid.copy(),
+        traj.append(dict(obs=np.array(obs),
+                         grid=canon_oracle_grid(oracle.grid),
                          rews=list(rews), dones=list(dones),
                          info={k: np.array(v) for k, v in info.items()}))
         if all(dones):

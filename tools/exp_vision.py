@@ -27,8 +27,8 @@ BASELINE = engine.encode_frame_cropped
 
 def _channels(win, n):
     """Shared elementwise channel encode of a gathered int window."""
-    t = win % 10
-    owner = win // 10
+    t = T.cell_type(win)
+    owner = T.cell_owner(win)
     ids = jnp.arange(n).reshape(n, 1, 1, 1)
     mine = owner[..., None] == ids
     tt = t[..., None]
