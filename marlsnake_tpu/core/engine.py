@@ -84,6 +84,20 @@ def delta_to_dir(delta: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(eq, axis=-1).astype(jnp.int32)
 
 
+def flat_delta_to_dir(d: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Map flat-index deltas (row-major, width ``w``) to direction indices.
+
+    -w -> UP, +1 -> RIGHT, +w -> DOWN, -1 -> LEFT. Compare/select
+    arithmetic on the flat cells avoids the ``//w``/``%w`` divides of a
+    coordinate round-trip (s32 division is a multi-instruction VPU
+    sequence; the spawn-path divmod was 2ms/64steps in device traces).
+    """
+    return jnp.where(
+        d == -w, T.UP,
+        jnp.where(d == 1, T.RIGHT,
+                  jnp.where(d == w, T.DOWN, T.LEFT))).astype(jnp.int32)
+
+
 def dir_delta(d: jnp.ndarray) -> jnp.ndarray:
     """``DIR_DELTA[d]`` as compare/select arithmetic — no gather.
 
@@ -270,8 +284,7 @@ def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray) -> EnvState:
     u = jax.random.uniform(k_spawn, ())
     row = jnp.minimum((u * num_pool).astype(jnp.int32), num_pool - 1)
 
-    cell_flat = spawn.cells[row]  # (N, k) head-first, disjoint
-    coords = jnp.stack([cell_flat // w, cell_flat % w], -1)  # (N, k, 2)
+    cell_flat = spawn.cells[row].reshape(n, k)  # head-first, disjoint
     grid = make_empty_grid(cfg)
     flat = grid.reshape(-1)
     snake_ids = jnp.arange(n, dtype=jnp.int32) << T.OWNER_SHIFT
@@ -288,20 +301,21 @@ def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray) -> EnvState:
         u = jax.random.uniform(k_fruit, (nf,))
         grid = place_fruits(grid, u, jnp.int32(nf))
 
-    # Direction ring: link j points from coords[j+1] to coords[j]
-    # (reference Snake.__init__, core/snake.py:62-71). Newest first.
-    # Computed on device from the gathered coords: feeding the ring from
-    # a precomputed spawn.dirs[row] gather flips XLA's layout choice for
-    # the (N, capacity) ring to a gather-friendly one that makes the
-    # ring push/pop one-hot ops ~8x slower (measured 60ms/step at 4096
-    # envs vs ~3ms for this arithmetic).
-    link_deltas = coords[:, :-1] - coords[:, 1:]  # (N, k-1, 2)
-    dirs = delta_to_dir(link_deltas)  # (N, k-1)
+    # Direction ring: link j points from cell j+1 to cell j (reference
+    # Snake.__init__, core/snake.py:62-71). Newest first. Computed on
+    # device from FLAT-index deltas: feeding the ring from a precomputed
+    # spawn.dirs[row] gather flips XLA's layout choice for the
+    # (N, capacity) ring to a gather-friendly one that makes the ring
+    # push/pop one-hot ops ~8x slower (measured 60ms/step at 4096 envs
+    # vs ~3ms for this arithmetic), and a coords round-trip would pay
+    # (N, k) s32 divmods.
+    dirs = flat_delta_to_dir(cell_flat[:, :-1] - cell_flat[:, 1:], w)
     ring = jnp.zeros((n, cfg.body_capacity), dtype=jnp.int8)
     ring = ring.at[:, :k - 1].set(dirs.astype(jnp.int8))
 
-    head = coords[:, 0].astype(jnp.int32)
-    tail = coords[:, -1].astype(jnp.int32)
+    hf, tf = cell_flat[:, 0], cell_flat[:, -1]
+    head = jnp.stack([hf // w, hf % w], -1).astype(jnp.int32)
+    tail = jnp.stack([tf // w, tf % w], -1).astype(jnp.int32)
     alive = jnp.ones((n,), dtype=bool)
 
     zeros_f = jnp.zeros((n,), dtype=jnp.float32)

@@ -170,11 +170,13 @@ class SpawnData(NamedTuple):
     ``reset`` draws one row and gathers its flat cell indices — a single
     small gather instead of the chained pool-row -> candidate-path
     computation (which cost ~7ms/step of device time at 4096 autoreset
-    envs in traces). Coords/ring-dirs are derived on device by divmod
-    (feeding the ring from a precomputed gather flips XLA's ring layout
-    and makes the ring ops ~8x slower — see engine._reset_core).
+    envs in traces). Rows are stored flat (P, N*k) so the per-env gather
+    is one contiguous row fetch; ring-dirs are derived on device from
+    flat-cell deltas (feeding the ring from a precomputed gather flips
+    XLA's ring layout and makes the ring ops ~8x slower — see
+    engine._reset_core).
     """
-    cells: np.ndarray  # (P, N, k) int32 — head-first flat r*W+c indices
+    cells: np.ndarray  # (P, N*k) int32 — head-first flat r*W+c indices
 
 
 @functools.lru_cache(maxsize=32)
@@ -187,6 +189,7 @@ def spawn_data(height: int, width: int, k: int, num_snakes: int,
                       map_layout)
     coords = cand[pool]  # (P, N, k, 2)
     cells = coords[..., 0].astype(np.int64) * width + coords[..., 1]
+    cells = cells.reshape(cells.shape[0], -1)  # (P, N*k) contiguous rows
     return SpawnData(cells=np.ascontiguousarray(cells.astype(np.int32)))
 
 
