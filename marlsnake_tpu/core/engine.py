@@ -320,7 +320,10 @@ def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray) -> EnvState:
 
     zeros_f = jnp.zeros((n,), dtype=jnp.float32)
     obs_shape = (n, cfg.obs_height, cfg.obs_width, T.FEATURE_CHANNEL)
+    hist_len = (cfg.frame_stack - 1) if _hist_mode(cfg) else 0
+    hist_grid = jnp.broadcast_to(grid[None], (hist_len, h, w))
     return EnvState(
+        hist_grid=hist_grid,
         grid=grid,
         direction=dirs[:, 0],
         head=head, tail=tail,
@@ -337,6 +340,16 @@ def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray) -> EnvState:
     )
 
 
+def _hist_mode(cfg: T.EnvConfig) -> bool:
+    """True when frame-stack history is carried as RAW GRIDS and history
+    frames are re-encoded at obs time (full-obs configs — the encode is
+    deterministic in the grid and ~13x smaller to carry than its
+    encoding). Vision configs keep the stored-frame stack: their encoded
+    window frames are smaller than a full grid, so re-encoding the
+    window fs times would cost more than it saves."""
+    return cfg.frame_stack > 1 and not cfg.vision_range
+
+
 def _encode_and_stack(cfg: T.EnvConfig, state: EnvState, old_stack,
                       reset_mode):
     """Encode the current frame and derive (obs, obs_stack).
@@ -344,7 +357,10 @@ def _encode_and_stack(cfg: T.EnvConfig, state: EnvState, old_stack,
     ``reset_mode`` may be True/False (static) or a traced bool scalar —
     the latter selects per element between the reset behavior (stack
     filled with the fresh frame, snake_env.py:444-459) and the step
-    behavior (rolled stack).
+    behavior (rolled stack). It only matters for the stored-frame stack
+    (vision configs); in ``_hist_mode`` the reset/step distinction is
+    already captured by ``state.hist_grid`` (a reset state carries its
+    own grid replicated, so history frames equal the fresh frame).
     """
     encode = (encode_frame_cropped if cfg.vision_range else encode_frame)
     frame = encode(cfg, state.grid, state.head, state.alive)
@@ -352,6 +368,11 @@ def _encode_and_stack(cfg: T.EnvConfig, state: EnvState, old_stack,
         # no history to carry: obs_stack stays the carried placeholder
         # (returning a fresh constant would strip its sharding/vma)
         return frame, None
+    if _hist_mode(cfg):
+        hists = [encode_frame(cfg, state.hist_grid[i], state.head,
+                              state.alive)
+                 for i in range(cfg.frame_stack - 1)]
+        return stack_to_obs(jnp.stack(hists + [frame])), None
     fresh = jnp.broadcast_to(frame[None],
                              (cfg.frame_stack,) + frame.shape)
     if reset_mode is True:
@@ -360,6 +381,17 @@ def _encode_and_stack(cfg: T.EnvConfig, state: EnvState, old_stack,
         rolled = jnp.concatenate([old_stack[1:], frame[None]], axis=0)
         stack = rolled if reset_mode is False else             jnp.where(reset_mode, fresh, rolled)
     return stack_to_obs(stack), stack
+
+
+def _roll_hist(cfg: T.EnvConfig, new_state: EnvState,
+               prev: EnvState) -> EnvState:
+    """Shift the raw-grid history after a step: drop the oldest grid,
+    append the PRE-step grid (cheap — grids are ~13x smaller than their
+    encoded frames)."""
+    if not _hist_mode(cfg):
+        return new_state
+    return new_state.replace(hist_grid=jnp.concatenate(
+        [prev.hist_grid[1:], prev.grid[None]], axis=0))
 
 
 def reset(cfg: T.EnvConfig, spawn, key: jnp.ndarray
@@ -544,6 +576,7 @@ def step(cfg: T.EnvConfig, state: EnvState,
     """One simultaneous-move step for all snakes (single env; vmap
     outside)."""
     new_state, out = _step_core(cfg, state, actions)
+    new_state = _roll_hist(cfg, new_state, state)
     obs, obs_stack = _encode_and_stack(cfg, new_state, state.obs_stack,
                                        False)
     if obs_stack is not None:
@@ -564,6 +597,7 @@ def step_autoreset(cfg: T.EnvConfig, spawn, state: EnvState,
     once per branch.
     """
     new_state, out = _step_core(cfg, state, actions)
+    new_state = _roll_hist(cfg, new_state, state)
     rkey = jax.random.fold_in(new_state.key, reset_salt)
     r_state = _reset_core(cfg, spawn, rkey)
     done = out.done_all

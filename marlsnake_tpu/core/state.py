@@ -54,8 +54,17 @@ class EnvState:
     episode_length: jnp.ndarray
     # (frame_stack, N, Ho, Wo, 8) uint8 — encoded obs frames, oldest first
     # (device-resident replacement of the reference's frame deque,
-    #  envs/snake_env.py:444-459)
+    #  envs/snake_env.py:444-459). Only carried for vision_range configs
+    # with frame_stack > 1; zero-size otherwise.
     obs_stack: jnp.ndarray
+    # (frame_stack - 1, H, W) int32 — previous RAW grids, oldest first.
+    # Full-obs frame_stack > 1 configs re-encode history frames from
+    # these at obs time instead of rolling a stack of encoded frames:
+    # the encode is deterministic in the grid (bit-identical obs) and a
+    # grid is ~13x smaller than its (N, H, W, 8) encoding, so the
+    # per-step history roll moves 630MB -> 13MB at 4096 envs x 8 snakes
+    # x frame_stack 4. Zero-size when unused.
+    hist_grid: jnp.ndarray
     # PRNG key consumed by fruit respawn each step
     key: jnp.ndarray
 

@@ -22,6 +22,10 @@ CONFIGS = [
               num_fruits=3),
     EnvConfig(height=20, width=20, num_snakes=4, snake_length=5,
               num_fruits=3, vision_range=5, frame_stack=2),
+    # full-obs frame_stack exercises the raw-grid history path
+    # (engine._hist_mode: history frames re-encoded at obs time)
+    EnvConfig(height=12, width=12, num_snakes=4, snake_length=3,
+              num_fruits=2, frame_stack=3),
     EnvConfig(height=12, width=12, num_snakes=3, snake_length=3,
               num_fruits=2, done_mode='any'),
     EnvConfig(height=12, width=12, num_snakes=4, snake_length=3,

@@ -26,8 +26,14 @@ def main():
     num_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     vision = int(os.environ.get('TRACE_VISION', '0'))
     fs = int(os.environ.get('TRACE_FRAME_STACK', '1'))
-    cfg = EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
-                    vision_range=vision or None, frame_stack=fs)
+    ns = int(os.environ.get('TRACE_NUM_SNAKES', '4'))
+    layout = None
+    if os.environ.get('TRACE_MAP'):
+        from marlsnake_tpu.core.maps import load_layout
+        layout = load_layout(os.environ['TRACE_MAP'])
+    cfg = EnvConfig(height=20, width=20, num_snakes=ns, snake_length=3,
+                    vision_range=vision or None, frame_stack=fs,
+                    map_layout=layout)
     init, rollout = build_rollout(cfg, num_envs, num_steps)
     states = init(jax.random.key(0))
     states, r = rollout(states, jax.random.key(1))
