@@ -144,10 +144,14 @@ def place_fruits(grid: jnp.ndarray, u: jnp.ndarray,
     cum = jnp.cumsum(mask.astype(jnp.int32))
     r = jnp.floor(u * num_empty).astype(jnp.int32)
     r = jnp.clip(r, 0, jnp.maximum(num_empty - 1, 0))
-    cells = jnp.argmax(cum[None, :] > r[:, None], axis=1)
     valid = (jnp.arange(u.shape[0]) < count) & (num_empty > 0)
-    flat = dense_set_1d(flat, cells, T.FRUIT, valid)
-    return flat.reshape(h, w)
+    r = jnp.where(valid, r, -2)
+    # Draw k selects the first cell with cum > r[k]; since cum increments
+    # by exactly 1 at each EMPTY cell, that is the unique EMPTY cell where
+    # cum == r[k]+1 — one fused (K, L) compare+any instead of an argmax
+    # followed by a one-hot write of the resulting indices.
+    hit = (cum[None, :] == (r[:, None] + 1)).any(0) & mask
+    return jnp.where(hit, T.FRUIT, flat).reshape(h, w)
 
 
 def encode_frame(cfg: T.EnvConfig, grid: jnp.ndarray, head: jnp.ndarray,

@@ -50,12 +50,21 @@ def test_floodfill_cap():
     assert got == 60
 
 
-def test_dense_set_1d_last_writer_wins_and_valid():
+def test_dense_set_1d_disjoint_and_valid():
     arr = jnp.zeros(10, jnp.int32)
-    out = dense_set_1d(arr, jnp.asarray([2, 2, 5]),
+    out = dense_set_1d(arr, jnp.asarray([2, 7, 5]),
                        jnp.asarray([7, 9, 3]),
                        jnp.asarray([True, True, False]))
-    assert out[2] == 9 and out[5] == 0 and out.sum() == 9
+    assert out[2] == 7 and out[7] == 9 and out[5] == 0 and out.sum() == 16
+
+
+def test_dense_set_1d_scalar_duplicates():
+    # scalar values tolerate duplicate indices (with-replacement fruit
+    # draws collapse into one write of the same value)
+    arr = jnp.zeros(10, jnp.int32)
+    out = dense_set_1d(arr, jnp.asarray([2, 2, 5]), 4,
+                       jnp.asarray([True, True, True]))
+    assert out[2] == 4 and out[5] == 4 and out.sum() == 8
 
 
 def test_dense_add_accumulates():
