@@ -56,7 +56,8 @@ class SnakeEnv:
         if self.candidates.shape[0] == 0:
             raise ValueError('no valid spawn positions for this config')
         sd = spawn_data(cfg.height, cfg.width, cfg.snake_length,
-                        cfg.num_snakes, map_layout=cfg.map_layout)
+                        cfg.num_snakes, pool_size=cfg.spawn_pool_size,
+                        map_layout=cfg.map_layout)
         self.spawn = SpawnData(jnp.asarray(sd.cells))
         self._reset = jax.jit(
             functools.partial(engine.reset, cfg, self.spawn))

@@ -33,7 +33,8 @@ def build_vector_fns(cfg: EnvConfig, autoreset: bool = True):
     Both are unjitted so they compose into larger jitted/sharded programs.
     """
     sd = spawn_data(cfg.height, cfg.width, cfg.snake_length,
-                    cfg.num_snakes, map_layout=cfg.map_layout)
+                    cfg.num_snakes, pool_size=cfg.spawn_pool_size,
+                    map_layout=cfg.map_layout)
     spawn = SpawnData(jnp.asarray(sd.cells))
     reset1 = functools.partial(engine.reset, cfg, spawn)
     if autoreset:

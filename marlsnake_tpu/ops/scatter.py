@@ -33,13 +33,14 @@ def dense_set_1d(arr: jnp.ndarray, idx: jnp.ndarray, val,
     if valid is not None:
         onehot = onehot & valid[:, None]
     val = jnp.asarray(val, dtype=arr.dtype)
-    hit = onehot.any(0)
     if val.ndim == 0:
         # scalar value: duplicate indices collapse naturally
-        return jnp.where(hit, val, arr)
-    # disjoint per-writer values: sum over the one-hot selects
-    written = jnp.where(onehot, val[:, None], 0).sum(0).astype(arr.dtype)
-    return jnp.where(hit, written, arr)
+        return jnp.where(onehot.any(0), val, arr)
+    # disjoint per-writer values, biased by +1 so the hit test rides the
+    # same reduction (values are small non-negative cell codes; a second
+    # reduce_or pass for `hit` measured ~4ms/64 steps at 4096 envs)
+    acc = jnp.where(onehot, val[:, None] + 1, 0).sum(0)
+    return jnp.where(acc > 0, acc - 1, arr).astype(arr.dtype)
 
 
 def dense_add_1d(arr: jnp.ndarray, idx: jnp.ndarray,

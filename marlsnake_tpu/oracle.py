@@ -119,7 +119,8 @@ class OracleEnv:
             k_fruit = jax.random.fold_in(key, 1)
             self._key = jax.random.fold_in(key, 2)
             pool = spawn_pool(cfg.height, cfg.width, cfg.snake_length,
-                              n, map_layout=cfg.map_layout)
+                              n, pool_size=cfg.spawn_pool_size,
+                              map_layout=cfg.map_layout)
             u = float(self._jax_uniform(k_spawn, ()))
             row = min(int(np.float32(u) * len(pool)), len(pool) - 1)
             chosen = [self.candidates[j] for j in pool[row]]

@@ -55,16 +55,22 @@ def main():
     events = [e for e in trace['traceEvents']
               if e.get('ph') == 'X' and 'dur' in e and e.get('args')]
     by_op = collections.Counter()
+    meta = {}
     for e in events:
         args = e['args']
         # XLA op events carry 'long_name'/'run_id'; host events don't
         if 'long_name' in args or 'hlo_op' in args or 'hlo_module' in args:
             by_op[e['name']] += e['dur']
+            meta[e['name']] = (args.get('source', ''),
+                               args.get('tf_op', ''))
     total = sum(by_op.values())
     print(f'total attributed device time: {total/1e3:.2f} ms '
           f'({num_envs}x{num_steps} env-steps)')
     for name, dur in by_op.most_common(30):
-        print(f'{dur/1e3:9.2f} ms  {100*dur/total:5.1f}%  {name}')
+        src, tf_op = meta[name]
+        src = src.replace('/root/repo/', '')
+        print(f'{dur/1e3:9.2f} ms  {100*dur/total:5.1f}%  {name:<28}'
+              f' {src}  {tf_op.split("/")[-1]}')
 
 
 if __name__ == '__main__':
