@@ -288,7 +288,9 @@ def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray) -> EnvState:
     u = jax.random.uniform(k_spawn, ())
     row = jnp.minimum((u * num_pool).astype(jnp.int32), num_pool - 1)
 
-    cell_flat = spawn.cells[row].reshape(n, k)  # head-first, disjoint
+    # head-first, disjoint; stored int16 (halves the gather bytes) and
+    # widened immediately so downstream arithmetic stays s32
+    cell_flat = spawn.cells[row].astype(jnp.int32).reshape(n, k)
     grid = make_empty_grid(cfg)
     flat = grid.reshape(-1)
     snake_ids = jnp.arange(n, dtype=jnp.int32) << T.OWNER_SHIFT

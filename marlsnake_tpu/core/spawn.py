@@ -190,7 +190,10 @@ def spawn_data(height: int, width: int, k: int, num_snakes: int,
     coords = cand[pool]  # (P, N, k, 2)
     cells = coords[..., 0].astype(np.int64) * width + coords[..., 1]
     cells = cells.reshape(cells.shape[0], -1)  # (P, N*k) contiguous rows
-    return SpawnData(cells=np.ascontiguousarray(cells.astype(np.int32)))
+    # int16 rows halve the bytes of the per-reset row gather (flat cell
+    # indices fit for any board up to 181x181); widened after the gather
+    dtype = np.int16 if height * width < 2**15 else np.int32
+    return SpawnData(cells=np.ascontiguousarray(cells.astype(dtype)))
 
 
 @functools.lru_cache(maxsize=32)
