@@ -50,7 +50,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from flax import struct
-from jax import lax
 
 from marlsnake_tpu.core import types as T
 from marlsnake_tpu.core.state import (
@@ -144,14 +143,16 @@ def place_fruits(grid: jnp.ndarray, u: jnp.ndarray,
     num_empty = mask.sum()
     # Prefix-sum lowering is board-size dependent on TPU: jnp.cumsum
     # lowers to an O(L^2) reduce-window that dominates SMALL boards
-    # (2x9.3ms/64 steps at 8192 10x10 envs = 52% of device time; the
-    # log-depth scan is +20% there) but fuses well at 400 cells where
-    # the log-depth concat passes measure 8% SLOWER. Gate empirically.
-    m = mask.astype(jnp.int32)
+    # (2x9.3ms/64 steps at 8192 10x10 envs = 52% of device time) but
+    # fuses well at 400 cells where log-depth scan passes measure 8%
+    # SLOWER. Below 256 cells the prefix sum rides the MXU as one
+    # mask @ triangular-ones matmul — bf16 is EXACT for counts < 256,
+    # and the vmapped matvec batches into a single (B, L) @ (L, L).
     if h * w < 256:
-        cum = lax.associative_scan(jnp.add, m)
+        tri = jnp.triu(jnp.ones((h * w, h * w), jnp.bfloat16))
+        cum = (mask.astype(jnp.bfloat16) @ tri).astype(jnp.int32)
     else:
-        cum = jnp.cumsum(m)
+        cum = jnp.cumsum(mask.astype(jnp.int32))
     r = jnp.floor(u * num_empty).astype(jnp.int32)
     r = jnp.clip(r, 0, jnp.maximum(num_empty - 1, 0))
     valid = (jnp.arange(u.shape[0]) < count) & (num_empty > 0)
