@@ -19,7 +19,11 @@ def dense_set_1d(arr: jnp.ndarray, idx: jnp.ndarray, val,
     arr (L,), idx (K,) int, val scalar or (K,), valid (K,) bool or None.
     Distinct valid indices assumed EXCEPT when ``val`` is a scalar, where
     duplicates are harmless (same value); the engine's write stages are
-    ordered across calls instead.
+    ordered across calls instead. Vector values must be NON-NEGATIVE and
+    leave +1 headroom in ``arr.dtype`` (the reduce form below encodes
+    "written" as ``val + 1``; a -1 sentinel or a dtype-max value would be
+    silently dropped). All engine call sites write packed cell codes
+    (<= 117 in int32), which satisfy both.
 
     Form: ONE reduction pass over the K (writer) axis instead of K
     unrolled ``where`` chains. The chain form forced XLA to materialize

@@ -66,9 +66,10 @@ def main():
     total = sum(by_op.values())
     print(f'total attributed device time: {total/1e3:.2f} ms '
           f'({num_envs}x{num_steps} env-steps)')
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for name, dur in by_op.most_common(30):
         src, tf_op = meta[name]
-        src = src.replace('/root/repo/', '')
+        src = src.replace(repo_root + '/', '')
         print(f'{dur/1e3:9.2f} ms  {100*dur/total:5.1f}%  {name:<28}'
               f' {src}  {tf_op.split("/")[-1]}')
 
