@@ -165,13 +165,32 @@ def place_fruits(grid: jnp.ndarray, u: jnp.ndarray,
     return jnp.where(hit, T.FRUIT, flat).reshape(h, w)
 
 
-def encode_frame(cfg: T.EnvConfig, grid: jnp.ndarray, head: jnp.ndarray,
-                 alive: jnp.ndarray) -> jnp.ndarray:
+def place_fruits_at(grid: jnp.ndarray, cells: jnp.ndarray) -> jnp.ndarray:
+    """Place fruits at explicit flat cell indices (replay mode).
+
+    ``cells`` is (K,) int32 of row-major flat indices; negative entries are
+    padding. Used by the reference-RNG replay harness: the cells the
+    ACTUAL reference drew from the global ``np.random`` stream
+    (grid_util.py:126-133) are captured on host and fed here verbatim, so
+    the jitted engine consumes the reference's randomness instead of a
+    jax.random key. Only EMPTY cells are written (the reference draws over
+    empty cells by construction; duplicates collapse like its
+    with-replacement semantics)."""
+    h, w = grid.shape
+    flat = grid.reshape(-1)
+    hit = (cells[:, None] == jnp.arange(h * w)[None, :]).any(0)
+    return jnp.where(hit & (flat == T.EMPTY), T.FRUIT, flat).reshape(h, w)
+
+
+def encode_frame(cfg: T.EnvConfig, grid: jnp.ndarray) -> jnp.ndarray:
     """8-channel per-snake observation of one grid (N, Ho, Wo, 8) uint8.
 
     Vectorized replacement of the reference's per-cell Python loop
     (snake_env.py:474-519). Channel order: wall, fruit, other-head,
-    other-body, other-tail, my-head, my-body, my-tail.
+    other-body, other-tail, my-head, my-body, my-tail. Deliberately a
+    function of the grid ALONE — frame-stack history re-encodes PAST
+    grids through this function (see ``_encode_and_stack``), which is
+    only sound while no current-step state (head/alive) leaks in.
     """
     n = cfg.num_snakes
     t = T.cell_type(grid)
@@ -273,7 +292,8 @@ def make_empty_grid(cfg: T.EnvConfig) -> jnp.ndarray:
 # reset
 # ---------------------------------------------------------------------------
 
-def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray) -> EnvState:
+def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray,
+                spawn_cells=None, fruit_cells=None) -> EnvState:
     """Reset WITHOUT observation encoding (obs_stack left as the empty
     placeholder); see :func:`reset` for the public API.
 
@@ -287,21 +307,28 @@ def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray) -> EnvState:
 
     Key schedule (mirrored by the oracle): fold_in(key, 0) -> pool row,
     fold_in(key, 1) -> fruits, fold_in(key, 2) -> stored per-step key.
+
+    Replay mode (reference-RNG parity): ``spawn_cells`` (N, k) int32
+    head-first flat cells and ``fruit_cells`` (F,) int32 flat cells
+    (negative = padding) override the PRNG draws with randomness captured
+    from the ACTUAL reference run — see tests/test_engine_vs_reference_replay.
     """
     n = cfg.num_snakes
     k = cfg.snake_length
     h, w = cfg.height, cfg.width
-    k_spawn = jax.random.fold_in(key, 0)
     k_fruit = jax.random.fold_in(key, 1)
     k_state = jax.random.fold_in(key, 2)
 
-    num_pool = spawn.cells.shape[0]
-    u = jax.random.uniform(k_spawn, ())
-    row = jnp.minimum((u * num_pool).astype(jnp.int32), num_pool - 1)
-
-    # head-first, disjoint; stored int16 (halves the gather bytes) and
-    # widened immediately so downstream arithmetic stays s32
-    cell_flat = spawn.cells[row].astype(jnp.int32).reshape(n, k)
+    if spawn_cells is None:
+        k_spawn = jax.random.fold_in(key, 0)
+        num_pool = spawn.cells.shape[0]
+        u = jax.random.uniform(k_spawn, ())
+        row = jnp.minimum((u * num_pool).astype(jnp.int32), num_pool - 1)
+        # head-first, disjoint; stored int16 (halves the gather bytes) and
+        # widened immediately so downstream arithmetic stays s32
+        cell_flat = spawn.cells[row].astype(jnp.int32).reshape(n, k)
+    else:
+        cell_flat = spawn_cells.astype(jnp.int32).reshape(n, k)
     grid = make_empty_grid(cfg)
     flat = grid.reshape(-1)
     snake_ids = jnp.arange(n, dtype=jnp.int32) << T.OWNER_SHIFT
@@ -313,10 +340,13 @@ def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray) -> EnvState:
     flat = dense_set_1d(flat, cell_flat[:, -1], T.TAIL + snake_ids)
     grid = flat.reshape(h, w)
 
-    nf = cfg.resolved_num_fruits
-    if nf > 0:
-        u = jax.random.uniform(k_fruit, (nf,))
-        grid = place_fruits(grid, u, jnp.int32(nf))
+    if fruit_cells is not None:
+        grid = place_fruits_at(grid, fruit_cells)
+    else:
+        nf = cfg.resolved_num_fruits
+        if nf > 0:
+            u = jax.random.uniform(k_fruit, (nf,))
+            grid = place_fruits(grid, u, jnp.int32(nf))
 
     # Direction ring: link j points from cell j+1 to cell j (reference
     # Snake.__init__, core/snake.py:62-71). Newest first. Computed on
@@ -379,15 +409,17 @@ def _encode_and_stack(cfg: T.EnvConfig, state: EnvState, old_stack,
     already captured by ``state.hist_grid`` (a reset state carries its
     own grid replicated, so history frames equal the fresh frame).
     """
-    encode = (encode_frame_cropped if cfg.vision_range else encode_frame)
-    frame = encode(cfg, state.grid, state.head, state.alive)
+    if cfg.vision_range:
+        frame = encode_frame_cropped(cfg, state.grid, state.head,
+                                     state.alive)
+    else:
+        frame = encode_frame(cfg, state.grid)
     if cfg.frame_stack == 1:
         # no history to carry: obs_stack stays the carried placeholder
         # (returning a fresh constant would strip its sharding/vma)
         return frame, None
     if _hist_mode(cfg):
-        hists = [encode_frame(cfg, state.hist_grid[i], state.head,
-                              state.alive)
+        hists = [encode_frame(cfg, state.hist_grid[i])
                  for i in range(cfg.frame_stack - 1)]
         return stack_to_obs(jnp.stack(hists + [frame])), None
     fresh = jnp.broadcast_to(frame[None],
@@ -411,16 +443,18 @@ def _roll_hist(cfg: T.EnvConfig, new_state: EnvState,
         [prev.hist_grid[1:], prev.grid[None]], axis=0))
 
 
-def reset(cfg: T.EnvConfig, spawn, key: jnp.ndarray
+def reset(cfg: T.EnvConfig, spawn, key: jnp.ndarray,
+          spawn_cells=None, fruit_cells=None
           ) -> Tuple[EnvState, jnp.ndarray]:
     """Pure reset: sample a disjoint spawn combo, place fruits, encode obs.
 
     ``spawn`` is a ``spawn.SpawnData`` of jnp arrays. Replaces the
     reference's per-reset DFS + rejection loop
     (snake_env.py:131-159,576-589); see ``_reset_core`` for the key
-    schedule (mirrored by the oracle).
+    schedule (mirrored by the oracle) and the replay-mode
+    ``spawn_cells``/``fruit_cells`` overrides.
     """
-    state = _reset_core(cfg, spawn, key)
+    state = _reset_core(cfg, spawn, key, spawn_cells, fruit_cells)
     obs, obs_stack = _encode_and_stack(cfg, state, None, True)
     if obs_stack is not None:
         state = state.replace(obs_stack=obs_stack)
@@ -432,10 +466,13 @@ def reset(cfg: T.EnvConfig, spawn, key: jnp.ndarray
 # ---------------------------------------------------------------------------
 
 def _step_core(cfg: T.EnvConfig, state: EnvState,
-               actions: jnp.ndarray) -> Tuple[EnvState, StepOutput]:
+               actions: jnp.ndarray,
+               fruit_cells=None) -> Tuple[EnvState, StepOutput]:
     """Step dynamics WITHOUT observation encoding (out.obs is an empty
     placeholder; obs_stack passes through). See :func:`step` /
-    :func:`step_autoreset` for the public APIs."""
+    :func:`step_autoreset` for the public APIs. ``fruit_cells`` replaces
+    the phase-7 PRNG respawn with captured reference draws (replay mode,
+    see ``_reset_core``)."""
     n = cfg.num_snakes
     h, w = cfg.height, cfg.width
     hw = h * w
@@ -539,9 +576,13 @@ def _step_core(cfg: T.EnvConfig, state: EnvState,
     grid = flat.reshape(h, w)
 
     # --- Phase 7: fruit respawn ---
-    key, k_fruit = jax.random.split(state.key)
-    u = jax.random.uniform(k_fruit, (n,))
-    grid = place_fruits(grid, u, fruit_taken)
+    if fruit_cells is not None:
+        key = state.key
+        grid = place_fruits_at(grid, fruit_cells)
+    else:
+        key, k_fruit = jax.random.split(state.key)
+        u = jax.random.uniform(k_fruit, (n,))
+        grid = place_fruits(grid, u, fruit_taken)
 
     # --- Phase 8: stats / timeout / done / rank ---
     dones_pre = ~alive1
@@ -589,10 +630,12 @@ def _step_core(cfg: T.EnvConfig, state: EnvState,
 
 
 def step(cfg: T.EnvConfig, state: EnvState,
-         actions: jnp.ndarray) -> Tuple[EnvState, StepOutput]:
+         actions: jnp.ndarray,
+         fruit_cells=None) -> Tuple[EnvState, StepOutput]:
     """One simultaneous-move step for all snakes (single env; vmap
-    outside)."""
-    new_state, out = _step_core(cfg, state, actions)
+    outside). ``fruit_cells`` enables reference-RNG replay (see
+    ``_reset_core``)."""
+    new_state, out = _step_core(cfg, state, actions, fruit_cells)
     new_state = _roll_hist(cfg, new_state, state)
     obs, obs_stack = _encode_and_stack(cfg, new_state, state.obs_stack,
                                        False)

@@ -444,7 +444,7 @@ def build_pallas_step(cfg: T.EnvConfig, candidates, pool,
         # obs encode as an XLA epilogue on the kernel's grid output —
         # identical code path to the XLA engine, so bit-exactness holds
         obs = jax.vmap(functools.partial(engine_encode_frame, cfg))(
-            g.reshape(b, h, w), head, alive > 0)
+            g.reshape(b, h, w))
         done_b = doneall[:, 0] > 0
         key_out = jnp.where(done_b, k_state, new_keys)
         new_state = states.replace(

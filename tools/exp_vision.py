@@ -47,7 +47,7 @@ def v_packed(cfg, grid, head, alive):
     h, w = cfg.height, cfg.width
     v = cfg.vision_range
     v2 = 2 * v + 1
-    frame = engine.encode_frame(cfg, grid, head, alive)  # (N, H, W, 8) u8
+    frame = engine.encode_frame(cfg, grid)  # (N, H, W, 8) u8
     weights = (1 << jnp.arange(T.FEATURE_CHANNEL)).astype(jnp.int32)
     packed = (frame.astype(jnp.int32) * weights).sum(-1).astype(jnp.float32)
     center = jnp.where(alive[:, None], head, 0)
