@@ -36,6 +36,8 @@ from marlsnake_tpu.algo import replay
 from marlsnake_tpu.core.types import EnvConfig
 from marlsnake_tpu.envs.vector import build_vector_fns
 from marlsnake_tpu.models.dqn import DQN
+from marlsnake_tpu.utils import checkpoint as ckpt
+from marlsnake_tpu.utils.metrics import MetricWriter
 
 
 @dataclasses.dataclass
@@ -326,7 +328,7 @@ class DQNTrainer:
             from datetime import datetime
             run_dir = os.path.join(
                 cfg.log_dir, datetime.now().strftime('%Y%m%d-%H%M%S'))
-            self.writer = _make_writer(run_dir)
+            self.writer = MetricWriter(run_dir)
         os.makedirs(cfg.save_dir, exist_ok=True)
         history = []
 
@@ -369,27 +371,20 @@ class DQNTrainer:
             os.path.join(self.config.save_dir, f'shared_model_{tag}'))
 
     def save_checkpoint(self, ts: TrainState, tag):
-        import orbax.checkpoint as ocp
-        path = self._ckpt_path(tag)
-        ckptr = ocp.StandardCheckpointer()
         payload = {
             'params': ts.params, 'target_params': ts.target_params,
             'epsilon': ts.epsilon, 'episode': ts.episode,
             'best_mean_reward': jnp.float32(self.best_mean_reward),
         }
-        ckptr.save(path, payload, force=True)
-        ckptr.wait_until_finished()
+        ckpt.save(self._ckpt_path(tag), payload)
 
     def load_checkpoint(self, tag, ts: TrainState):
-        import orbax.checkpoint as ocp
-        path = self._ckpt_path(tag)
-        ckptr = ocp.StandardCheckpointer()
         template = {
             'params': ts.params, 'target_params': ts.target_params,
             'epsilon': ts.epsilon, 'episode': ts.episode,
             'best_mean_reward': jnp.float32(0.0),
         }
-        restored = ckptr.restore(path, template)
+        restored = ckpt.restore(self._ckpt_path(tag), template)
         ts = ts.replace(params=restored['params'],
                         target_params=restored['target_params'],
                         epsilon=restored['epsilon'],
@@ -402,14 +397,6 @@ class DQNTrainer:
         path = self._ckpt_path(tag)
         if os.path.exists(path):
             shutil.rmtree(path, ignore_errors=True)
-
-
-def _make_writer(log_dir):
-    try:
-        from torch.utils.tensorboard import SummaryWriter
-        return SummaryWriter(log_dir)
-    except Exception:
-        return None
 
 
 def main():

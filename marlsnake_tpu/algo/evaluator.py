@@ -186,7 +186,7 @@ def build_evaluate_batch(net, cfg, num_envs: int = 256,
         def body(carry, _):
             states, obs, dones, dirs, rew_acc, life_acc = carry
             active = ~dones
-            acts, dirs = policy(params, obs, dirs, active)
+            acts, new_dirs = policy(params, obs, dirs, active)
             new_states, out = step_fn(states, acts)
             frozen = dones.all(-1)
 
@@ -196,6 +196,7 @@ def build_evaluate_batch(net, cfg, num_envs: int = 256,
 
             states = jax.tree.map(sel, new_states, states)
             obs = sel(out.obs, obs)
+            dirs = sel(new_dirs, dirs)  # frozen envs keep their dirs
             rew_acc = rew_acc + jnp.where(active, out.reward, 0.0)
             life_acc = life_acc + active.astype(jnp.float32)
             dones = dones | out.done
@@ -214,8 +215,10 @@ def build_evaluate_batch(net, cfg, num_envs: int = 256,
 
 # flax modules and EnvConfig are hashable -> compiled programs cached
 # across evaluate_batch calls (a fresh jit per call cost 30-50s of
-# recompile on every battle/eval invocation)
+# recompile on every battle/eval invocation). LRU-bounded: a battle
+# sweep over many configs must not pin every compiled program forever.
 _EVAL_CACHE = {}
+_EVAL_CACHE_MAX = 8
 
 
 def evaluate_batch(net, params, cfg, num_envs: int = 256,
@@ -224,10 +227,13 @@ def evaluate_batch(net, params, cfg, num_envs: int = 256,
     """Fully on-device batched evaluation with safety masking; see
     :func:`build_evaluate_batch`."""
     cache_key = (net, cfg, num_envs, max_steps, flood_limit)
-    run = _EVAL_CACHE.get(cache_key)
+    run = _EVAL_CACHE.pop(cache_key, None)
     if run is None:
-        run = _EVAL_CACHE[cache_key] = build_evaluate_batch(
-            net, cfg, num_envs, max_steps, flood_limit)
+        run = build_evaluate_batch(net, cfg, num_envs, max_steps,
+                                   flood_limit)
+    _EVAL_CACHE[cache_key] = run  # re-insert -> most-recently-used
+    while len(_EVAL_CACHE) > _EVAL_CACHE_MAX:
+        _EVAL_CACHE.pop(next(iter(_EVAL_CACHE)))
     if key is None:
         key = jax.random.key(0)
     r, t = run(params, key)

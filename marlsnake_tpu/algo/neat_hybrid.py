@@ -73,6 +73,7 @@ class HybridNEATTrainer:
         self.episode_steps = episode_steps
         self.result_file = result_file
         self.seed = seed
+        self._tick = 0  # per-instance generation counter (rollout keys)
         self.dqn_params = dqn_params
         self.net = DQN(num_actions=self.env_cfg.num_actions)
         self.best_fitness = -1e9
@@ -191,11 +192,12 @@ class HybridNEATTrainer:
                     'neat_config': cfg,
                 }, self.result_file)
 
-    _tick = 0
-
     def _gen_tick(self):
-        HybridNEATTrainer._tick += 1
-        return HybridNEATTrainer._tick
+        """Per-instance counter: fitness-rollout keys depend only on
+        (seed, generation index), never on how many trainers the process
+        constructed before this one."""
+        self._tick += 1
+        return self._tick
 
     # ------------------------------------------------------------------
     def run(self, num_generations: int = 50, verbose: bool = True):

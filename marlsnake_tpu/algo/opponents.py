@@ -51,54 +51,54 @@ class GreedyAgent(AgentBase):
     def reset(self):
         self.current_direction = None
 
+    @staticmethod
+    def _infer_direction(obs, hy, hx):
+        """Direction of travel = away from the adjacent own-body cell
+        (probed UP/DOWN/LEFT/RIGHT, first hit wins); UP if none."""
+        h, w = obs.shape[:2]
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            by, bx = hy + dy, hx + dx
+            if (0 <= by < h and 0 <= bx < w
+                    and (obs[by, bx, T.CH_MY_BODY] == 1
+                         or obs[by, bx, T.CH_MY_TAIL] == 1)):
+                return (-dy, -dx)
+        return (-1, 0)
+
     def get_action(self, obs):
         obs = np.asarray(obs)
+        h, w = obs.shape[:2]
         head = np.argwhere(obs[:, :, T.CH_MY_HEAD] == 1)
         if len(head) == 0:
             return 0
         hy, hx = head[0]
 
-        fruits = np.argwhere(obs[:, :, T.CH_FRUIT] == 1)
-        target = None
-        if len(fruits) > 0:
-            dists = [abs(hy - fy) + abs(hx - fx) for fy, fx in fruits]
-            target = fruits[int(np.argmin(dists))]
-
         if self.current_direction is None:
-            cur = (-1, 0)
-            for dy, dx in [(-1, 0), (1, 0), (0, -1), (0, 1)]:
-                by, bx = hy + dy, hx + dx
-                if (0 <= by < obs.shape[0] and 0 <= bx < obs.shape[1]
-                        and (obs[by, bx, T.CH_MY_BODY] == 1
-                             or obs[by, bx, T.CH_MY_TAIL] == 1)):
-                    cur = (hy - by, hx - bx)
-                    break
-            self.current_direction = cur
-
+            self.current_direction = self._infer_direction(obs, hy, hx)
         dy, dx = self.current_direction
-        moves = {0: (dy, dx), 1: (-dx, dy), 2: (dx, -dy)}
-        scores = []
-        for a in (0, 1, 2):
-            mdy, mdx = moves[a]
-            ny, nx = hy + mdy, hx + mdx
-            if not (0 <= ny < obs.shape[0] and 0 <= nx < obs.shape[1]):
-                scores.append(-float('inf'))
-                continue
-            if any(obs[ny, nx, ch] == 1 for ch in DEADLY_CHANNELS):
-                scores.append(-float('inf'))
-                continue
-            score = 0.0
-            if target is not None:
-                score = -(abs(ny - target[0]) + abs(nx - target[1]))
-            scores.append(score)
 
-        if all(s == -float('inf') for s in scores):
+        # the 3 relative moves scored as one (3,) vector op:
+        # row a of `moves` = {0: forward, 1: left, 2: right}
+        moves = np.array([(dy, dx), (-dx, dy), (dx, -dy)])
+        ny, nx = hy + moves[:, 0], hx + moves[:, 1]
+        inb = (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w)
+        deadly = obs[np.clip(ny, 0, h - 1), np.clip(nx, 0, w - 1)
+                     ][:, DEADLY_CHANNELS].any(axis=-1)
+        legal = inb & ~deadly
+
+        fruits = np.argwhere(obs[:, :, T.CH_FRUIT] == 1)
+        if len(fruits) > 0:
+            ty, tx = fruits[np.abs(fruits - (hy, hx)).sum(axis=1).argmin()]
+            scores = -(np.abs(ny - ty) + np.abs(nx - tx)).astype(float)
+        else:
+            scores = np.zeros(3)
+        scores = np.where(legal, scores, -np.inf)
+
+        if not legal.any():
             chosen = 0
         else:
-            best = max(scores)
             chosen = random.choice(
-                [i for i, s in enumerate(scores) if s == best])
-        self.current_direction = moves[chosen]
+                np.flatnonzero(scores == scores.max()).tolist())
+        self.current_direction = tuple(moves[chosen])
         return chosen
 
 

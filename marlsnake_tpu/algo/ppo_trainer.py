@@ -330,14 +330,11 @@ class PPOTrainer:
         ts = self.init_state()
         writer = None
         if log:
-            try:
-                from datetime import datetime
-                from torch.utils.tensorboard import SummaryWriter
-                import os
-                writer = SummaryWriter(os.path.join(
-                    cfg.log_dir, datetime.now().strftime('%Y%m%d-%H%M%S')))
-            except Exception:
-                writer = None
+            from datetime import datetime
+            import os
+            from marlsnake_tpu.utils.metrics import MetricWriter
+            writer = MetricWriter(os.path.join(
+                cfg.log_dir, datetime.now().strftime('%Y%m%d-%H%M%S')))
         t0 = time.time()
         for u in range(1, num_updates + 1):
             ts, m = self._update(ts)
@@ -354,8 +351,7 @@ class PPOTrainer:
                     'env/episodes_collected': int(m.episodes_collected),
                 }
                 if writer:
-                    for k, v in scalars.items():
-                        writer.add_scalar(k, v, u)
+                    writer.add_scalars(scalars, u)
                 steps = u * cfg.rollout_steps * cfg.num_envs
                 print(f'update {u:4d} | return {scalars["env/mean_episode_return"]:8.4f} | '
                       f'entropy {scalars["policy/entropy"]:.3f} | '

@@ -91,6 +91,11 @@ def flat_delta_to_dir(d: jnp.ndarray, w: int) -> jnp.ndarray:
     arithmetic on the flat cells avoids the ``//w``/``%w`` divides of a
     coordinate round-trip (s32 division is a multi-instruction VPU
     sequence; the spawn-path divmod was 2ms/64steps in device traces).
+
+    Caller contract: ``d`` must be one of {-w, -1, +1, +w} with w >= 2
+    (adjacent in-bounds cells on a bordered board). Any other delta maps
+    to LEFT unvalidated, and a degenerate w <= 1 board aliases ±w with
+    ±1 — spawn candidates satisfy this by construction.
     """
     return jnp.where(
         d == -w, T.UP,

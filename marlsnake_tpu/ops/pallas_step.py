@@ -328,6 +328,13 @@ def build_pallas_step(cfg: T.EnvConfig, candidates, pool,
     if cfg.frame_stack != 1 or cfg.vision_range:
         raise NotImplementedError(
             'pallas step covers frame_stack=1, no vision_range')
+    if pool.shape[0] != cfg.spawn_pool_size:
+        # the kernel maps u -> row = u * pool.shape[0]; a pool built for a
+        # different cfg.spawn_pool_size would silently diverge from the
+        # XLA engine's reset trajectories while claiming bit-exactness
+        raise ValueError(
+            f'pool has {pool.shape[0]} rows but cfg.spawn_pool_size='
+            f'{cfg.spawn_pool_size}; build the pool from the same cfg')
     n = cfg.num_snakes
     h, w = cfg.height, cfg.width
     hw = h * w

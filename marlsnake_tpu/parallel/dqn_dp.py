@@ -65,7 +65,10 @@ class DistributedDQN:
                                                size=buf.size[None]))
             return ts, metrics
 
-        template = self.init_state_template()
+        # abstract local TrainState: specs only need the tree structure,
+        # which is identical between the local and global layouts
+        template = jax.eval_shape(self.trainer.init_state,
+                                  jax.random.key(0))
         specs = _state_specs(template)
         self._episode = jax.jit(jax.shard_map(
             episode_local, mesh=mesh,
@@ -74,19 +77,6 @@ class DistributedDQN:
         ))
 
     # ------------------------------------------------------------------
-    def init_state_template(self) -> TrainState:
-        """Abstract global TrainState (for spec construction)."""
-        local_ts = jax.eval_shape(self.trainer.init_state,
-                                  jax.random.key(0))
-        return self._globalize_shapes(local_ts)
-
-    def _globalize_shapes(self, local_ts):
-        def fix_buf(x, name):
-            return x
-
-        buf = local_ts.buffer
-        return local_ts.replace(buffer=buf)
-
     def init_state(self, key=None) -> TrainState:
         """Global sharded TrainState laid out on the mesh."""
         cfg = self.config

@@ -191,3 +191,85 @@ def test_replay_sample_without_replacement_distinct():
     rewards = np.asarray(s[2])
     assert len(np.unique(rewards)) == 32  # distinct transitions
     assert rewards.max() < 40  # never samples unfilled slots
+
+
+def _greedy_loop_form(obs, current_direction):
+    """The reference GreedyEnemy heuristic in its original loop form
+    (train_dqn.py:774-856) — the oracle for the vectorized GreedyAgent.
+    Returns (action, new_direction); consumes `random` exactly like the
+    agent (one choice() when any legal move exists)."""
+    import random
+    from marlsnake_tpu.algo.opponents import DEADLY_CHANNELS
+    obs = np.asarray(obs)
+    head = np.argwhere(obs[:, :, T.CH_MY_HEAD] == 1)
+    if len(head) == 0:
+        return 0, current_direction
+    hy, hx = head[0]
+    fruits = np.argwhere(obs[:, :, T.CH_FRUIT] == 1)
+    target = None
+    if len(fruits) > 0:
+        dists = [abs(hy - fy) + abs(hx - fx) for fy, fx in fruits]
+        target = fruits[int(np.argmin(dists))]
+    if current_direction is None:
+        cur = (-1, 0)
+        for dy, dx in [(-1, 0), (1, 0), (0, -1), (0, 1)]:
+            by, bx = hy + dy, hx + dx
+            if (0 <= by < obs.shape[0] and 0 <= bx < obs.shape[1]
+                    and (obs[by, bx, T.CH_MY_BODY] == 1
+                         or obs[by, bx, T.CH_MY_TAIL] == 1)):
+                cur = (hy - by, hx - bx)
+                break
+        current_direction = cur
+    dy, dx = current_direction
+    moves = {0: (dy, dx), 1: (-dx, dy), 2: (dx, -dy)}
+    scores = []
+    for a in (0, 1, 2):
+        mdy, mdx = moves[a]
+        ny, nx = hy + mdy, hx + mdx
+        if not (0 <= ny < obs.shape[0] and 0 <= nx < obs.shape[1]):
+            scores.append(-float('inf'))
+            continue
+        if any(obs[ny, nx, ch] == 1 for ch in DEADLY_CHANNELS):
+            scores.append(-float('inf'))
+            continue
+        score = 0.0
+        if target is not None:
+            score = -(abs(ny - target[0]) + abs(nx - target[1]))
+        scores.append(score)
+    if all(s == -float('inf') for s in scores):
+        chosen = 0
+    else:
+        best = max(scores)
+        chosen = random.choice(
+            [i for i, s in enumerate(scores) if s == best])
+    return chosen, moves[chosen]
+
+
+def test_greedy_agent_matches_loop_form():
+    """Vectorized GreedyAgent == the reference loop-form heuristic,
+    decision for decision, over synthetic obs trajectories (incl. no-head,
+    no-fruit, all-blocked, and tie-break cases)."""
+    import random
+    from marlsnake_tpu.algo.opponents import GreedyAgent
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        h, w = rng.integers(4, 12, size=2)
+        agent = GreedyAgent(0)
+        loop_dir = None
+        for step in range(12):
+            obs = np.zeros((h, w, 8), np.uint8)
+            # sparse random channel content
+            for ch, p in [(T.CH_WALL, 0.15), (T.CH_FRUIT, 0.08),
+                          (T.CH_OTHER_BODY, 0.1), (T.CH_MY_BODY, 0.1),
+                          (T.CH_MY_TAIL, 0.05)]:
+                obs[:, :, ch] = rng.random((h, w)) < p
+            if rng.random() > 0.1:  # usually a head exists
+                obs[rng.integers(h), rng.integers(w), T.CH_MY_HEAD] = 1
+            seed = int(rng.integers(1 << 30))
+            random.seed(seed)
+            a_vec = agent.get_action(obs)
+            random.seed(seed)
+            a_loop, loop_dir = _greedy_loop_form(obs, loop_dir)
+            assert a_vec == a_loop, (trial, step)
+            assert tuple(agent.current_direction or (None,)) == \
+                tuple(loop_dir or (None,)), (trial, step)

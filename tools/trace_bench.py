@@ -55,20 +55,23 @@ def main():
     events = [e for e in trace['traceEvents']
               if e.get('ph') == 'X' and 'dur' in e and e.get('args')]
     by_op = collections.Counter()
-    meta = {}
+    meta = {}    # op name -> (dur of longest event, source, tf_op)
     for e in events:
         args = e['args']
         # XLA op events carry 'long_name'/'run_id'; host events don't
         if 'long_name' in args or 'hlo_op' in args or 'hlo_module' in args:
             by_op[e['name']] += e['dur']
-            meta[e['name']] = (args.get('source', ''),
-                               args.get('tf_op', ''))
+            # durations are summed across all events of a name, so keep
+            # the attribution of the LONGEST event (not last-write-wins)
+            if e['dur'] >= meta.get(e['name'], (-1,))[0]:
+                meta[e['name']] = (e['dur'], args.get('source', ''),
+                                   args.get('tf_op', ''))
     total = sum(by_op.values())
     print(f'total attributed device time: {total/1e3:.2f} ms '
           f'({num_envs}x{num_steps} env-steps)')
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for name, dur in by_op.most_common(30):
-        src, tf_op = meta[name]
+        _, src, tf_op = meta[name]
         src = src.replace(repo_root + '/', '')
         print(f'{dur/1e3:9.2f} ms  {100*dur/total:5.1f}%  {name:<28}'
               f' {src}  {tf_op.split("/")[-1]}')
