@@ -35,6 +35,12 @@ CONFIGS = [
     ('20x20cross_x8_framestack4', 4096,
      EnvConfig(num_snakes=8, snake_length=3, frame_stack=4,
                map_layout=load_layout('20x20_cross')), None),
+    # BASELINE.json configs[3]: 4096 envs, 30x30, 8 snakes, frame_stack=4,
+    # walls enabled, full obs pipeline on-device
+    ('30x30walls_x8_framestack4', 4096,
+     EnvConfig(height=30, width=30, num_snakes=8, snake_length=3,
+               frame_stack=4, map_layout=load_layout('30x30_pillars')),
+     None),
     ('10x10x1', 8192,
      EnvConfig(height=10, width=10, num_snakes=1, snake_length=3), 616.0),
 ]

@@ -50,6 +50,15 @@ def _load_native():
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int), ctypes.c_longlong,
             ]
+            # masked variant (custom interior walls); absent in .so
+            # builds predating it -> fall back to the Python DFS there
+            if hasattr(lib, 'enumerate_paths_masked'):
+                lib.enumerate_paths_masked.restype = ctypes.c_longlong
+                lib.enumerate_paths_masked.argtypes = [
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_int), ctypes.c_longlong,
+                ]
             _NATIVE_LIB = lib
         except OSError:
             _NATIVE_LIB = None
@@ -103,21 +112,34 @@ def enumerate_spawn_paths_py(height: int, width: int, k: int,
     return np.asarray(out, dtype=np.int32)
 
 
-def enumerate_spawn_paths_native(height: int, width: int,
-                                 k: int) -> np.ndarray:
+def enumerate_spawn_paths_native(height: int, width: int, k: int,
+                                 wall_mask=None) -> np.ndarray:
     lib = _load_native()
     if lib is None:
         raise RuntimeError('native spawn enumerator not built')
+    if wall_mask is not None and not hasattr(lib, 'enumerate_paths_masked'):
+        raise RuntimeError('native library predates the masked variant')
+
+    if wall_mask is not None:
+        walls = np.ascontiguousarray(
+            np.asarray(wall_mask, dtype=np.uint8).reshape(-1))
+        assert walls.size == height * width
+
+        def call(buf, cap):
+            return lib.enumerate_paths_masked(
+                height, width, k,
+                walls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                buf, cap)
+    else:
+        def call(buf, cap):
+            return lib.enumerate_paths(height, width, k, buf, cap)
+
     # First call with null buffer to count, then fill.
-    n = lib.enumerate_paths(height, width, k,
-                            ctypes.cast(None, ctypes.POINTER(ctypes.c_int)),
-                            0)
+    n = call(ctypes.cast(None, ctypes.POINTER(ctypes.c_int)), 0)
     if n < 0:
         raise RuntimeError('native spawn enumeration failed')
     buf = np.zeros((int(n), k, 2), dtype=np.int32)
-    n2 = lib.enumerate_paths(
-        height, width, k,
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), int(n))
+    n2 = call(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), int(n))
     assert n2 == n, (n2, n)
     return buf
 
@@ -140,7 +162,9 @@ def spawn_pool(height: int, width: int, k: int, num_snakes: int,
     if c == 0:
         return np.zeros((0, num_snakes), np.int32)
     rng = np.random.default_rng(seed)
-    cells = cand[:, :, 0].astype(np.int64) * width + cand[:, :, 1]
+    # int32 flat cells: halves the bytes through the disjointness sort,
+    # which dominates pool construction on big boards (40x40/8-snake)
+    cells = cand[:, :, 0].astype(np.int32) * width + cand[:, :, 1]
     rows = []
     need = pool_size
     for _ in range(64):
@@ -201,13 +225,14 @@ def spawn_candidates(height: int, width: int, k: int,
                      map_layout=None) -> np.ndarray:
     """Cached (C, k, 2) int32 candidate paths for a bordered grid,
     optionally with the custom walls of ``map_layout``."""
+    wall_mask = None
     if map_layout is not None:
         from marlsnake_tpu.core.maps import parse_layout
-        return enumerate_spawn_paths_py(height, width, k,
-                                        parse_layout(map_layout))
+        wall_mask = parse_layout(map_layout)
     if _load_native() is not None:
         try:
-            return enumerate_spawn_paths_native(height, width, k)
+            return enumerate_spawn_paths_native(height, width, k,
+                                                wall_mask)
         except RuntimeError:
             pass
-    return enumerate_spawn_paths_py(height, width, k)
+    return enumerate_spawn_paths_py(height, width, k, wall_mask)

@@ -9,9 +9,15 @@
 // API (ctypes):
 //   long long enumerate_paths(int height, int width, int k,
 //                             int* out /* nullable */, long long capacity);
+//   long long enumerate_paths_masked(int height, int width, int k,
+//                                    const uint8_t* walls /* nullable */,
+//                                    int* out /* nullable */,
+//                                    long long capacity);
 // With out == nullptr: returns the number of paths.
 // With out != nullptr: fills out[n][k][2] (row, col) and returns n
 // (paths beyond `capacity` are not written).
+// `walls` is an (h*w) row-major byte mask of EXTRA interior walls
+// (nonzero = wall) on top of the always-walled border; nullptr = none.
 
 #include <cstdint>
 #include <vector>
@@ -77,8 +83,9 @@ struct Ctx {
 
 }  // namespace
 
-extern "C" long long enumerate_paths(int height, int width, int k,
-                                     int* out, long long capacity) {
+extern "C" long long enumerate_paths_masked(int height, int width, int k,
+                                            const uint8_t* walls, int* out,
+                                            long long capacity) {
   if (height < 3 || width < 3 || k < 1) return 0;
   Ctx ctx;
   ctx.h = height;
@@ -90,10 +97,18 @@ extern "C" long long enumerate_paths(int height, int width, int k,
   ctx.mask.assign(height * width, 0);
   ctx.used.assign(height * width, 0);
   for (int r = 1; r < height - 1; ++r)
-    for (int c = 1; c < width - 1; ++c) ctx.mask[r * width + c] = 1;
+    for (int c = 1; c < width - 1; ++c) {
+      int i = r * width + c;
+      ctx.mask[i] = (walls && walls[i]) ? 0 : 1;
+    }
   ctx.path.reserve(2 * k);
   for (int r = 0; r < height; ++r)
     for (int c = 0; c < width; ++c)
       if (ctx.empty_at(r, c)) ctx.dfs(r, c);
   return ctx.count;
+}
+
+extern "C" long long enumerate_paths(int height, int width, int k,
+                                     int* out, long long capacity) {
+  return enumerate_paths_masked(height, width, k, nullptr, out, capacity);
 }

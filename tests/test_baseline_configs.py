@@ -37,13 +37,11 @@ def test_config_256_vectorized_custom_rewards():
 
 
 def test_config_30x30_8_snakes_framestack4_walls():
+    from marlsnake_tpu.core.maps import load_layout
+    # the same bundled walls layout bench_table.py measures (BASELINE
+    # configs[3] row '30x30walls_x8_framestack4')
     cfg = EnvConfig(height=30, width=30, num_snakes=8, snake_length=3,
-                    frame_stack=4,
-                    map_layout=tuple(
-                        ('#' * 30 if r in (0, 29) else
-                         '#' + '.' * 12 + ('##' if 10 <= r < 20 else '..')
-                         + '.' * 14 + '#')
-                        for r in range(30)))
+                    frame_stack=4, map_layout=load_layout('30x30_pillars'))
     venv = VectorSnakeEnv(cfg, num_envs=8)
     states, obs = venv.reset(jax.random.key(0))
     assert obs.shape == (8, 8, 30, 30, 32)

@@ -78,3 +78,25 @@ def test_interior_walls_in_obs_and_grid():
     grid = np.asarray(state.grid)
     assert grid[3, 4] == T.WALL
     assert np.asarray(obs)[0, 3, 4, T.CH_WALL] == 1
+
+
+def test_40x40_ml2_bundled_and_playable():
+    """The reference's largest shipped asset (assets/40x40_ml2.txt) is
+    bundled and the engine plays on it."""
+    layout = load_layout('40x40_ml2')
+    mask = parse_layout(layout)
+    assert mask.shape == (40, 40)
+    assert mask.sum() > 100  # the ml2 maze has many interior walls
+    cfg = EnvConfig(height=40, width=40, num_snakes=8, snake_length=5,
+                    num_fruits=6, map_layout=layout)
+    env = make_env(cfg)
+    key = jax.random.key(3)
+    state, obs = env.reset(key)
+    grid = np.asarray(state.grid)
+    walls = T.cell_type(grid) == T.WALL
+    assert walls[mask].all()  # interior walls painted
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        state, out = env.step(state, jnp.asarray(
+            rng.integers(0, 3, 8), jnp.int32))
+    assert np.asarray(out.obs).shape == cfg.obs_shape

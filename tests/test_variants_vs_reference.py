@@ -64,35 +64,48 @@ def _dir_index(direction):
     raise AssertionError
 
 
+def _ref_raw_rows(ref):
+    """Per-snake stacked raw obs reconstructed from the reference frame
+    deque WITHOUT mutating it (ref._get_obs() appends a frame, so calling
+    it again would corrupt frame_stack>1 state)."""
+    raw = [np.concatenate(o, axis=-1) for o in zip(*list(ref.obs))]
+    return np.stack(raw).astype(np.uint8)
+
+
+def _ref_float_rays(ref, raw):
+    """The reference's ray transform on the current raw rows, BEFORE the
+    uint8 cast that SnakeEnv.step applies to the returned obs
+    (snake_env.py:414 truncates the fractional ray features to 0/1)."""
+    return np.asarray(ref._process_obs(list(raw)), dtype=np.float64)
+
+
 @pytest.mark.parametrize('seed', [1, 3])
 @pytest.mark.parametrize('vision', [None, 5])
-def test_graph_rays_vs_reference(seed, vision):
+@pytest.mark.parametrize('fs', [1, 2])
+def test_graph_rays_vs_reference(seed, vision, fs):
     """While every snake is alive the reference's compacted rows equal a
     per-snake layout, so our fixed-shape transform must match its output
-    exactly."""
+    exactly — including stacked-channel rays at frame_stack=2 (the wall
+    stop probes channel 0 = the OLDEST frame's wall channel, which is
+    static, so the walk geometry agrees; the weighted sums run over all
+    8*fs channels)."""
     import jax.numpy as jnp
     params = dict(height=14, width=14, num_snakes=4, snake_length=3,
-                  vision_range=vision)
+                  vision_range=vision, frame_stack=fs)
     np.random.seed(seed)
     ref = GraphSnakeEnv(num_fruits=3, **params)
-    proc = ref.reset()
+    ref.reset()
     cfg = EnvConfig(num_fruits=3, **params)
 
     rng = np.random.default_rng(seed)
     compared = 0
     for t in range(30):
         acts = rng.integers(0, 3, size=4)
-        proc, rews, dones, _ = ref.step(list(acts))
+        _, rews, dones, _ = ref.step(list(acts))
         if any(dones):
             break
-        # NOTE reference bug: SnakeEnv.step casts the returned obs to
-        # uint8 (snake_env.py:414), truncating the graph env's fractional
-        # ray features to 0/1. Compare against the reference's internal
-        # float rays instead (recomputed; idempotent for frame_stack=1).
-        proc = np.asarray(ref._get_obs(), dtype=np.float64)
-        # reconstruct the raw stacked obs from the reference frame deque
-        raw = [np.concatenate(o, axis=-1) for o in zip(*list(ref.obs))]
-        raw = np.stack(raw).astype(np.uint8)
+        raw = _ref_raw_rows(ref)
+        proc = _ref_float_rays(ref, raw)
         heads = np.array([s.head_coord for s in ref.snakes])
         dirs = np.array([_dir_index(s.direction) for s in ref.snakes])
         alive = np.array([s.alive for s in ref.snakes])
@@ -100,7 +113,78 @@ def test_graph_rays_vs_reference(seed, vision):
                                        jnp.asarray(heads),
                                        jnp.asarray(dirs),
                                        jnp.asarray(alive)))
-        np.testing.assert_allclose(ours, np.asarray(proc), atol=1e-5,
+        np.testing.assert_allclose(ours, proc, atol=1e-5,
                                    err_msg=f't={t}')
         compared += 1
     assert compared >= 1, 'no all-alive steps to compare'
+
+
+def test_graph_dead_snake_compaction_divergence():
+    """Documents EXACTLY where the reference's compaction bug diverges
+    from our fixed-shape transform once a snake is dead.
+
+    The reference emits rows only for alive snakes and pairs the j-th
+    alive snake's direction/head with ``obs[j]`` — the j-th SNAKE's obs
+    row, not its own (graph_snake_env.py:62-64). Our ``ray_features``
+    always pairs each snake with its own obs row and zeroes dead rows.
+    So for an alive snake with original index i at compacted position j:
+
+    * i == j (no dead snake before it): reference row j == our row i;
+    * i != j: reference row j == our transform evaluated with snake i
+      reading obs row j (the wrong-row pairing, reproduced explicitly).
+    """
+    import jax.numpy as jnp
+    params = dict(height=10, width=10, num_snakes=4, snake_length=3)
+    cfg = EnvConfig(num_fruits=2, **params)
+
+    for seed in range(20):
+        np.random.seed(seed)
+        ref = GraphSnakeEnv(num_fruits=2, **params)
+        ref.reset()
+        rng = np.random.default_rng(seed)
+        for t in range(40):
+            _, _, dones, _ = ref.step(list(rng.integers(0, 3, size=4)))
+            if all(dones):
+                break
+            if any(dones):
+                alive_idx = [i for i, d in enumerate(dones) if not d]
+                if any(i != j for j, i in enumerate(alive_idx)):
+                    break
+        else:
+            continue
+        if all(dones) or not any(dones):
+            continue
+
+        raw = _ref_raw_rows(ref)
+        proc = _ref_float_rays(ref, raw)          # rows = alive only
+        heads = np.array([s.head_coord for s in ref.snakes])
+        dirs = np.array([_dir_index(s.direction) for s in ref.snakes])
+        alive = np.array([s.alive for s in ref.snakes])
+        ours = np.asarray(ray_features(cfg, jnp.asarray(raw),
+                                       jnp.asarray(heads),
+                                       jnp.asarray(dirs),
+                                       jnp.asarray(alive)))
+        assert proc.shape[0] == len(alive_idx) < 4  # compacted rows
+
+        # dead snakes: our rows are zero (no reference counterpart)
+        for i in range(4):
+            if not alive[i]:
+                np.testing.assert_array_equal(ours[i], 0.0)
+
+        diverged = 0
+        for j, i in enumerate(alive_idx):
+            # reproduce the reference's wrong-row pairing: snake i's
+            # geometry walking over obs row j
+            swapped = raw.copy()
+            swapped[i] = raw[j]
+            wrong = np.asarray(ray_features(
+                cfg, jnp.asarray(swapped), jnp.asarray(heads),
+                jnp.asarray(dirs), jnp.asarray(alive)))
+            np.testing.assert_allclose(wrong[i], proc[j], atol=1e-5,
+                                       err_msg=f'alive {i} at row {j}')
+            if i == j:
+                np.testing.assert_allclose(ours[i], proc[j], atol=1e-5)
+            elif not np.allclose(ours[i], proc[j], atol=1e-5):
+                diverged += 1  # the bug visibly mispairs this snake
+        return  # one engineered instance is enough
+    pytest.fail('no seed produced a compacted alive set within 40 steps')
