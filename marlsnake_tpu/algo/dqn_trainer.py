@@ -78,6 +78,15 @@ class DQNConfig:
     num_envs: int = 1
     seed: int = 0
     compute_dtype: Any = jnp.float32
+    # Opt-in learner batching: with update_chunk_steps=K>1 the episode
+    # runs K env steps between optimizer updates and each update consumes
+    # ONE (K*batch_size) minibatch — the same gradient-sample throughput
+    # as the reference's 1-update-per-env-step contract (train_dqn.py:
+    # 228-257, the default K=1) in 1/K as many MXU dispatches. The
+    # isolated TD update is MXU-bound and flat from batch 512 to 4096
+    # (NEXT_STEPS r1 §5), so K updates collapse to ~the cost of one.
+    # K must divide max_steps_per_episode.
+    update_chunk_steps: int = 1
 
     def env_config(self) -> EnvConfig:
         return EnvConfig.from_reward_dict(
@@ -116,6 +125,11 @@ class DQNTrainer:
     def __init__(self, config: DQNConfig, axis_name: Optional[str] = None):
         self.axis_name = axis_name
         self.config = config
+        if config.max_steps_per_episode % config.update_chunk_steps != 0:
+            raise ValueError(
+                f'update_chunk_steps={config.update_chunk_steps} must '
+                f'divide max_steps_per_episode='
+                f'{config.max_steps_per_episode}')
         self.env_cfg = config.env_config()
         self.net = DQN(num_actions=self.env_cfg.num_actions,
                        compute_dtype=config.compute_dtype)
@@ -199,7 +213,11 @@ class DQNTrainer:
             jax.random.fold_in(k_reset, ts.episode), e)
         env_states, obs = self._reset_env(reset_keys)
 
-        def body(carry, _):
+        def env_step(carry):
+            """One env step: act, step, shape, push — no learner work.
+            Returns (carry, k_sample) with the same per-step key-split
+            pattern whatever the update mode, so the K=1 default path's
+            RNG stream is byte-identical to the reference semantics."""
             (env_states, obs, dones, buffer, params, opt_state, key,
              ep_rew, loss_sum, loss_cnt, step, frozen) = carry
             key, k_act, k_sample = jax.random.split(key, 3)
@@ -219,29 +237,6 @@ class DQNTrainer:
                 flat(out.obs), flat(out.done), mask=flat(push_mask))
             ep_rew = ep_rew + jnp.where(push_mask, shaped, 0.0)
 
-            # one optimizer step per env step while the episode is live
-            can_update = (buffer.size >= cfg.min_buffer_size) & ~frozen.all()
-            if self.axis_name is not None:
-                # uniform predicate across the mesh so every device enters
-                # the (collective-containing) update branch together
-                can_update = jax.lax.pmin(
-                    can_update.astype(jnp.int32), self.axis_name) > 0
-
-            def do_update(args):
-                params, opt_state = args
-                batch = replay.sample(buffer, k_sample, cfg.batch_size)
-                p2, o2, loss = self._td_update(
-                    params, ts.target_params, opt_state, batch)
-                return p2, o2, loss, jnp.float32(1.0)
-
-            params, opt_state, loss, cnt = jax.lax.cond(
-                can_update, do_update,
-                lambda args: (args[0], args[1], jnp.float32(0.0),
-                              jnp.float32(0.0)),
-                (params, opt_state))
-            loss_sum = loss_sum + loss
-            loss_cnt = loss_cnt + cnt
-
             # freeze finished envs (reference: while not all(dones))
             new_frozen = frozen | out.done.all(axis=-1)
             sel = lambda new, old: jax.tree.map(
@@ -253,7 +248,58 @@ class DQNTrainer:
             dones = sel(out.done, dones)
             step = step + jnp.where(frozen.all(), 0, 1)
             return (env_states, obs, dones, buffer, params, opt_state,
-                    key, ep_rew, loss_sum, loss_cnt, step, new_frozen), None
+                    key, ep_rew, loss_sum, loss_cnt, step,
+                    new_frozen), k_sample
+
+        def update_once(carry, k_sample, batch_size):
+            """One cond'd optimizer step over a ``batch_size`` minibatch
+            while the episode is live and the buffer is warm."""
+            (env_states, obs, dones, buffer, params, opt_state, key,
+             ep_rew, loss_sum, loss_cnt, step, frozen) = carry
+            can_update = (buffer.size >= cfg.min_buffer_size) \
+                & ~frozen.all()
+            if self.axis_name is not None:
+                # uniform predicate across the mesh so every device enters
+                # the (collective-containing) update branch together
+                can_update = jax.lax.pmin(
+                    can_update.astype(jnp.int32), self.axis_name) > 0
+
+            def do_update(args):
+                params, opt_state = args
+                batch = replay.sample(buffer, k_sample, batch_size)
+                p2, o2, loss = self._td_update(
+                    params, ts.target_params, opt_state, batch)
+                return p2, o2, loss, jnp.float32(1.0)
+
+            params, opt_state, loss, cnt = jax.lax.cond(
+                can_update, do_update,
+                lambda args: (args[0], args[1], jnp.float32(0.0),
+                              jnp.float32(0.0)),
+                (params, opt_state))
+            return (env_states, obs, dones, buffer, params, opt_state,
+                    key, ep_rew, loss_sum + loss, loss_cnt + cnt, step,
+                    frozen)
+
+        k_chunk = cfg.update_chunk_steps
+
+        if k_chunk == 1:
+            # reference contract: one optimizer step per env step
+            def body(carry, _):
+                carry, k_sample = env_step(carry)
+                return update_once(carry, k_sample, cfg.batch_size), None
+        else:
+            # opt-in batched mode: K env steps, then ONE (K*batch_size)
+            # minibatch — same sample throughput, 1/K the dispatches
+            def body(carry, _):
+                def inner(c, _):
+                    c, k_sample = env_step(c)
+                    return c, k_sample
+
+                carry, k_samples = jax.lax.scan(inner, carry,
+                                                length=k_chunk)
+                return update_once(
+                    carry, k_samples[-1],
+                    cfg.batch_size * k_chunk), None
 
         dones0 = jnp.zeros((e, n), bool)
         ep_rew0 = jnp.zeros((e, n), jnp.float32)
@@ -277,8 +323,8 @@ class DQNTrainer:
                 ts.params, ts.opt_state, key,
                 ep_rew0, jnp.float32(0.0),
                 jnp.float32(0.0), step0, frozen0)
-        carry, _ = jax.lax.scan(body, init,
-                                length=cfg.max_steps_per_episode)
+        carry, _ = jax.lax.scan(
+            body, init, length=cfg.max_steps_per_episode // k_chunk)
         (env_states, obs, dones, buffer, params, opt_state, key,
          ep_rew, loss_sum, loss_cnt, step, frozen) = carry
 

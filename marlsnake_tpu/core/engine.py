@@ -56,7 +56,11 @@ from marlsnake_tpu.core.state import (
     EnvState, ring_push, ring_pop_tail)
 from marlsnake_tpu.ops.scatter import dense_add_1d, dense_set_1d
 
-_DIR_DELTA = jnp.asarray(T.DIR_DELTA)
+# numpy on purpose: a module-level jnp.asarray would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize for any
+# program that imports marlsnake_tpu first. Tracer == numpy broadcasting
+# is fine; the constant is baked at trace time.
+_DIR_DELTA = T.DIR_DELTA
 
 
 @struct.dataclass

@@ -23,7 +23,10 @@ import jax.numpy as jnp
 
 from marlsnake_tpu.core import types as T
 
-_DIR_DELTA = jnp.asarray(T.DIR_DELTA)
+# converted to a jnp array lazily inside ray_features: a module-level
+# jnp.asarray would initialize the XLA backend at import time, breaking
+# jax.distributed.initialize for programs that import marlsnake_tpu first
+_DIR_DELTA = T.DIR_DELTA
 
 
 def ray_features(cfg: T.EnvConfig, obs: jnp.ndarray, head: jnp.ndarray,
@@ -35,7 +38,7 @@ def ray_features(cfg: T.EnvConfig, obs: jnp.ndarray, head: jnp.ndarray,
     left = (direction - 1) % 4
     right = (direction + 1) % 4
     card = jnp.stack([direction, left, right], axis=1)       # (N, 3)
-    card_d = _DIR_DELTA[card]                                # (N, 3, 2)
+    card_d = jnp.asarray(_DIR_DELTA)[card]                   # (N, 3, 2)
     diag_d = jnp.stack([card_d[:, 0] + card_d[:, 1],
                         card_d[:, 0] + card_d[:, 2]], axis=1)  # (N, 2, 2)
     all_d = jnp.concatenate([card_d, diag_d], axis=1)        # (N, 5, 2)

@@ -31,6 +31,68 @@ def initialize(coordinator_address: Optional[str] = None,
                                process_id=process_id)
 
 
+def launch_local_cluster(num_processes: int = 2,
+                         devices_per_process: int = 4,
+                         timeout: float = 300.0) -> list:
+    """Spawn a REAL multi-process jax.distributed cluster on localhost
+    (CPU backend, gloo collectives) and run one sharded DQN episode per
+    :mod:`marlsnake_tpu.parallel.mp_worker` in every process.
+
+    Returns the per-process result dicts; raises if any process fails or
+    the processes disagree on the final (replicated) learner params —
+    i.e. this is the multi-process bootstrap + collective-correctness
+    check that single-process ``shard_map`` on a virtual mesh cannot
+    provide. The reference's only cross-process analog is fork workers
+    with pipes (wrappers.py:126-194).
+    """
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free localhost port for the coordinator
+        s.bind(('127.0.0.1', 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    flags = env.get('XLA_FLAGS', '')
+    flags = ' '.join(f for f in flags.split()
+                     if not f.startswith(
+                         '--xla_force_host_platform_device_count'))
+    env['XLA_FLAGS'] = (
+        f'{flags} '
+        f'--xla_force_host_platform_device_count={devices_per_process}'
+    ).strip()
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    procs = [subprocess.Popen(
+        [sys.executable, '-m', 'marlsnake_tpu.parallel.mp_worker',
+         str(pid), str(num_processes), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        cwd=repo_root, text=True) for pid in range(num_processes)]
+    results = []
+    for pid, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise RuntimeError(f'worker {pid} timed out after {timeout}s')
+        if p.returncode != 0:
+            raise RuntimeError(
+                f'worker {pid} failed rc={p.returncode}:\n{err[-2000:]}')
+        payload = [ln for ln in out.splitlines() if ln.startswith('{')]
+        results.append(json.loads(payload[-1]))
+
+    digests = {r['param_digest'] for r in results}
+    if len(digests) != 1:
+        raise RuntimeError(
+            f'replicated params diverged across processes: {results}')
+    return results
+
+
 def scaling_efficiency(cfg, envs_per_device: int = 512,
                        num_steps: int = 64) -> dict:
     """Measure env-step throughput at 1 device vs the full mesh.

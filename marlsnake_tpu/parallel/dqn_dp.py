@@ -99,12 +99,14 @@ class DistributedDQN:
             size=jnp.zeros((self.ndev,), jnp.int32),
             obs_shape=buf.obs_shape)
         ts = local.replace(buffer=gbuf)
-        # lay out on the mesh
+        # lay out on the mesh (multi-process safe: every process built the
+        # same global values above)
+        from marlsnake_tpu.parallel.mesh import global_put_tree
         specs = _state_specs(ts)
         shardings = jax.tree.map(
             lambda s: NamedSharding(self.mesh, s), specs,
             is_leaf=lambda x: isinstance(x, P))
-        return jax.tree.map(jax.device_put, ts, shardings)
+        return global_put_tree(ts, shardings)
 
     # ------------------------------------------------------------------
     def train_episode(self, ts: TrainState) -> Tuple[TrainState, object]:

@@ -34,3 +34,27 @@ def data_sharding(mesh: Mesh, axis: str = 'data') -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def global_put(x, sharding: NamedSharding):
+    """Lay ``x`` out with ``sharding``, working in BOTH the single-process
+    case (virtual mesh / one slice: plain device_put) and the
+    multi-process ``jax.distributed`` case, where device_put refuses
+    non-addressable shardings. In the latter every process passes the
+    SAME full global value (our init paths construct state identically
+    everywhere) and each picks out its addressable shards."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    if jax.dtypes.issubdtype(getattr(x, 'dtype', None), jax.dtypes.prng_key):
+        data = np.asarray(jax.random.key_data(x))
+        impl = jax.random.key_impl(x)
+        global_data = jax.make_array_from_process_local_data(
+            sharding, data, global_shape=data.shape)
+        return jax.random.wrap_key_data(global_data, impl=impl)
+    x = np.asarray(x)
+    return jax.make_array_from_process_local_data(sharding, x,
+                                                  global_shape=x.shape)
+
+
+def global_put_tree(tree, shardings):
+    return jax.tree.map(global_put, tree, shardings)

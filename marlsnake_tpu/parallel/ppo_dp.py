@@ -51,11 +51,12 @@ class DistributedPPO:
 
     def init_state(self, key=None) -> PPOTrainState:
         ts = self._global_trainer.init_state(key)
+        from marlsnake_tpu.parallel.mesh import global_put_tree
         specs = _state_specs(ts)
         shardings = jax.tree.map(
             lambda s: NamedSharding(self.mesh, s), specs,
             is_leaf=lambda x: isinstance(x, P))
-        return jax.tree.map(jax.device_put, ts, shardings)
+        return global_put_tree(ts, shardings)
 
     def train_update(self, ts: PPOTrainState) -> Tuple[PPOTrainState,
                                                        object]:
