@@ -78,15 +78,26 @@ class DQNConfig:
     num_envs: int = 1
     seed: int = 0
     compute_dtype: Any = jnp.float32
-    # Opt-in learner batching: with update_chunk_steps=K>1 the episode
-    # runs K env steps between optimizer updates and each update consumes
-    # ONE (K*batch_size) minibatch — the same gradient-sample throughput
-    # as the reference's 1-update-per-env-step contract (train_dqn.py:
-    # 228-257, the default K=1) in 1/K as many MXU dispatches. The
-    # isolated TD update is MXU-bound and flat from batch 512 to 4096
-    # (NEXT_STEPS r1 §5), so K updates collapse to ~the cost of one.
-    # K must divide max_steps_per_episode.
-    update_chunk_steps: int = 1
+    # Opt-in learner pacing (defaults = the reference's 1-update-per-
+    # env-step contract, train_dqn.py:228-257).
+    #
+    # update_every=K runs K env steps between optimizer updates — the
+    # DQN-Nature "update frequency" knob. MEASURED on the real chip
+    # (tools/bench_learner_chunk.py, 20x20x4, 256-step episodes):
+    # K=4 gives 2.2x episode throughput at e=32 (412 -> 186 ms) and
+    # 1.16x at e=256 (1275 -> 1095 ms, where acting/env dominate),
+    # because the TD update is compute-bound per SAMPLE: batching K
+    # updates into one K*batch minibatch measured FLAT-to-worse
+    # (K=4/8/16 all within noise of K=1 — a bigger conv fwd+bwd costs
+    # proportionally more, nothing amortizes). Fewer gradient steps is
+    # the only lever that pays, so it is explicit and opt-in.
+    #
+    # update_batch_size sets the per-update minibatch (None = batch_size)
+    # — e.g. update_every=4, update_batch_size=4*512 preserves the
+    # reference's gradient-sample throughput exactly (the measured-flat
+    # configuration). update_every must divide max_steps_per_episode.
+    update_every: int = 1
+    update_batch_size: Optional[int] = None
 
     def env_config(self) -> EnvConfig:
         return EnvConfig.from_reward_dict(
@@ -125,11 +136,10 @@ class DQNTrainer:
     def __init__(self, config: DQNConfig, axis_name: Optional[str] = None):
         self.axis_name = axis_name
         self.config = config
-        if config.max_steps_per_episode % config.update_chunk_steps != 0:
+        if config.max_steps_per_episode % config.update_every != 0:
             raise ValueError(
-                f'update_chunk_steps={config.update_chunk_steps} must '
-                f'divide max_steps_per_episode='
-                f'{config.max_steps_per_episode}')
+                f'update_every={config.update_every} must divide '
+                f'max_steps_per_episode={config.max_steps_per_episode}')
         self.env_cfg = config.env_config()
         self.net = DQN(num_actions=self.env_cfg.num_actions,
                        compute_dtype=config.compute_dtype)
@@ -280,26 +290,24 @@ class DQNTrainer:
                     key, ep_rew, loss_sum + loss, loss_cnt + cnt, step,
                     frozen)
 
-        k_chunk = cfg.update_chunk_steps
+        k_every = cfg.update_every
+        upd_batch = cfg.update_batch_size or cfg.batch_size
 
-        if k_chunk == 1:
+        if k_every == 1:
             # reference contract: one optimizer step per env step
             def body(carry, _):
                 carry, k_sample = env_step(carry)
-                return update_once(carry, k_sample, cfg.batch_size), None
+                return update_once(carry, k_sample, upd_batch), None
         else:
-            # opt-in batched mode: K env steps, then ONE (K*batch_size)
-            # minibatch — same sample throughput, 1/K the dispatches
+            # opt-in paced mode: K env steps, then one update
             def body(carry, _):
                 def inner(c, _):
                     c, k_sample = env_step(c)
                     return c, k_sample
 
                 carry, k_samples = jax.lax.scan(inner, carry,
-                                                length=k_chunk)
-                return update_once(
-                    carry, k_samples[-1],
-                    cfg.batch_size * k_chunk), None
+                                                length=k_every)
+                return update_once(carry, k_samples[-1], upd_batch), None
 
         dones0 = jnp.zeros((e, n), bool)
         ep_rew0 = jnp.zeros((e, n), jnp.float32)
@@ -324,7 +332,7 @@ class DQNTrainer:
                 ep_rew0, jnp.float32(0.0),
                 jnp.float32(0.0), step0, frozen0)
         carry, _ = jax.lax.scan(
-            body, init, length=cfg.max_steps_per_episode // k_chunk)
+            body, init, length=cfg.max_steps_per_episode // k_every)
         (env_states, obs, dones, buffer, params, opt_state, key,
          ep_rew, loss_sum, loss_cnt, step, frozen) = carry
 

@@ -275,27 +275,26 @@ def test_greedy_agent_matches_loop_form():
                 tuple(loop_dir or (None,)), (trial, step)
 
 
-def test_dqn_update_chunk_mode():
-    """Opt-in update_chunk_steps=K: K env steps per optimizer step, each
-    update a (K*batch) minibatch; default K=1 keeps the reference's
-    1-update-per-env-step contract. Checks the episode runs, counts
-    S/K updates once the buffer is warm, and still learns a finite loss."""
-    import jax
+def test_dqn_update_pacing_modes():
+    """Opt-in update_every=K (env steps per optimizer step; the
+    DQN-Nature update-frequency knob, measured 2.2x episode throughput
+    at e=32 on TPU) and update_batch_size (e.g. K*batch to preserve the
+    reference's gradient-sample throughput). Default K=1 keeps the
+    reference's 1-update-per-env-step contract."""
     from marlsnake_tpu.algo.dqn_trainer import DQNConfig, DQNTrainer
     cfg = DQNConfig(height=8, width=8, num_snakes=2, snake_length=2,
                     num_envs=4, max_steps_per_episode=16,
                     batch_size=8, min_buffer_size=8, buffer_size=512,
-                    update_chunk_steps=4)
+                    update_every=4, update_batch_size=32)
     tr = DQNTrainer(cfg)
     ts = tr.init_state()
     ts, m = tr._train_episode(ts)
     assert int(m.updates) <= 16 // 4
     assert np.isfinite(float(m.mean_loss))
-    # a second episode with a warm buffer must fire every chunk update
+    # a second episode with a warm buffer must fire every paced update
     ts, m2 = tr._train_episode(ts)
     assert int(m2.updates) >= 1
-    # invalid chunking is rejected up front
+    # invalid pacing is rejected up front
     import pytest
     with pytest.raises(ValueError):
-        DQNTrainer(DQNConfig(max_steps_per_episode=10,
-                             update_chunk_steps=3))
+        DQNTrainer(DQNConfig(max_steps_per_episode=10, update_every=3))
