@@ -41,6 +41,12 @@ CONFIGS = [
      EnvConfig(height=30, width=30, num_snakes=8, snake_length=3,
                frame_stack=4, map_layout=load_layout('30x30_pillars')),
      None),
+    # Big-board scale row: the reference's largest shipped asset
+    # (assets/40x40_ml2.txt; ~88k spawn candidates enumerate in ~8ms via
+    # the native DFS, tests/test_spawn.py)
+    ('40x40ml2_x4', 2048,
+     EnvConfig(height=40, width=40, num_snakes=4, snake_length=3,
+               map_layout=load_layout('40x40_ml2')), None),
     ('10x10x1', 8192,
      EnvConfig(height=10, width=10, num_snakes=1, snake_length=3), 616.0),
 ]
