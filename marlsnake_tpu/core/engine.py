@@ -302,7 +302,8 @@ def make_empty_grid(cfg: T.EnvConfig) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray,
-                spawn_cells=None, fruit_cells=None) -> EnvState:
+                spawn_cells=None, fruit_cells=None,
+                _defer_fruits: bool = False):
     """Reset WITHOUT observation encoding (obs_stack left as the empty
     placeholder); see :func:`reset` for the public API.
 
@@ -349,12 +350,16 @@ def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray,
     flat = dense_set_1d(flat, cell_flat[:, -1], T.TAIL + snake_ids)
     grid = flat.reshape(h, w)
 
+    fruit_u = None
     if fruit_cells is not None:
         grid = place_fruits_at(grid, fruit_cells)
     else:
         nf = cfg.resolved_num_fruits
-        if nf > 0:
-            u = jax.random.uniform(k_fruit, (nf,))
+        u = (jax.random.uniform(k_fruit, (nf,)) if nf > 0
+             else jnp.zeros((0,), jnp.float32))
+        if _defer_fruits:
+            fruit_u = u   # grid returned PRE-fruit; caller places
+        elif nf > 0:
             grid = place_fruits(grid, u, jnp.int32(nf))
 
     # Direction ring: link j points from cell j+1 to cell j (reference
@@ -378,7 +383,7 @@ def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray,
     obs_shape = (n, cfg.obs_height, cfg.obs_width, T.FEATURE_CHANNEL)
     hist_len = (cfg.frame_stack - 1) if _hist_mode(cfg) else 0
     hist_grid = jnp.broadcast_to(grid[None], (hist_len, h, w))
-    return EnvState(
+    state = EnvState(
         hist_grid=hist_grid,
         grid=grid,
         direction=dirs[:, 0],
@@ -394,6 +399,11 @@ def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray,
         obs_stack=jnp.zeros((0,) + obs_shape, jnp.uint8),
         key=k_state,
     )
+    if _defer_fruits:
+        # hist_grid (hist mode) replicates the PRE-fruit grid here; the
+        # caller must refresh it after placing fruits (see step_autoreset)
+        return state, fruit_u
+    return state
 
 
 def _hist_mode(cfg: T.EnvConfig) -> bool:
@@ -476,12 +486,14 @@ def reset(cfg: T.EnvConfig, spawn, key: jnp.ndarray,
 
 def _step_core(cfg: T.EnvConfig, state: EnvState,
                actions: jnp.ndarray,
-               fruit_cells=None) -> Tuple[EnvState, StepOutput]:
+               fruit_cells=None, _defer_fruits: bool = False):
     """Step dynamics WITHOUT observation encoding (out.obs is an empty
     placeholder; obs_stack passes through). See :func:`step` /
     :func:`step_autoreset` for the public APIs. ``fruit_cells`` replaces
     the phase-7 PRNG respawn with captured reference draws (replay mode,
-    see ``_reset_core``)."""
+    see ``_reset_core``). With ``_defer_fruits`` the returned grid is
+    PRE-fruit and ``(state, out, (u, fruit_taken))`` is returned — the
+    PRNG draws are consumed identically either way."""
     n = cfg.num_snakes
     h, w = cfg.height, cfg.width
     hw = h * w
@@ -585,13 +597,17 @@ def _step_core(cfg: T.EnvConfig, state: EnvState,
     grid = flat.reshape(h, w)
 
     # --- Phase 7: fruit respawn ---
+    fruit_ctx = None
     if fruit_cells is not None:
         key = state.key
         grid = place_fruits_at(grid, fruit_cells)
     else:
         key, k_fruit = jax.random.split(state.key)
         u = jax.random.uniform(k_fruit, (n,))
-        grid = place_fruits(grid, u, fruit_taken)
+        if _defer_fruits:
+            fruit_ctx = (u, fruit_taken)
+        else:
+            grid = place_fruits(grid, u, fruit_taken)
 
     # --- Phase 8: stats / timeout / done / rank ---
     dones_pre = ~alive1
@@ -635,6 +651,8 @@ def _step_core(cfg: T.EnvConfig, state: EnvState,
         episode_length=episode_length,
         key=key,
     )
+    if _defer_fruits:
+        return new_state, out, fruit_ctx
     return new_state, out
 
 
@@ -663,18 +681,43 @@ def step_autoreset(cfg: T.EnvConfig, spawn, state: EnvState,
     the finished step — the contract of the reference's fork-worker
     auto-reset (wrappers.py:141-143). Fusing the reset into the step lets
     the observation be encoded ONCE from the post-select state instead of
-    once per branch.
+    once per branch — and fruits be placed ONCE on the done-selected grid
+    with done-selected draws/count (branchwise identical to placing per
+    branch then selecting, since ``place_fruits`` depends only on
+    (grid, u, count); one empty-cell prefix-sum pass instead of two,
+    measured ~2ms/64 steps at 4096 envs).
     """
-    new_state, out = _step_core(cfg, state, actions)
+    n = cfg.num_snakes
+    nf = cfg.resolved_num_fruits
+    new_state, out, (u_step, fruit_taken) = _step_core(
+        cfg, state, actions, _defer_fruits=True)
     new_state = _roll_hist(cfg, new_state, state)
     rkey = jax.random.fold_in(new_state.key, reset_salt)
-    r_state = _reset_core(cfg, spawn, rkey)
+    r_state, u_reset = _reset_core(cfg, spawn, rkey, _defer_fruits=True)
     done = out.done_all
 
     # select every field except obs_stack (handled by _encode_and_stack)
     sel_state = jax.tree.map(
         lambda r, snew: jnp.where(done, r, snew),
         r_state.replace(obs_stack=new_state.obs_stack), new_state)
+
+    # fused fruit placement: pad both branches' draws to one length
+    # (padding lanes are masked by count inside place_fruits)
+    m = max(n, nf)
+    if m > 0:
+        pad_s = jnp.zeros((m - n,), jnp.float32)
+        pad_r = jnp.zeros((m - nf,), jnp.float32)
+        u_sel = jnp.where(done, jnp.concatenate([u_reset, pad_r]),
+                          jnp.concatenate([u_step, pad_s]))
+        count_sel = jnp.where(done, jnp.int32(nf), fruit_taken)
+        grid = place_fruits(sel_state.grid, u_sel, count_sel)
+        sel_state = sel_state.replace(grid=grid)
+        if _hist_mode(cfg):
+            # a reset env's history replicates its own (post-fruit) grid
+            sel_state = sel_state.replace(hist_grid=jnp.where(
+                done, jnp.broadcast_to(grid[None],
+                                       sel_state.hist_grid.shape),
+                sel_state.hist_grid))
     obs, obs_stack = _encode_and_stack(cfg, sel_state, state.obs_stack,
                                        done)
     if obs_stack is not None:
