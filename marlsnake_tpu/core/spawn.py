@@ -191,33 +191,75 @@ def spawn_pool(height: int, width: int, k: int, num_snakes: int,
 class SpawnData(NamedTuple):
     """Per-pool-row reset data, fully precomputed on the host.
 
-    ``reset`` draws one row and gathers its flat cell indices — a single
-    small gather instead of the chained pool-row -> candidate-path
-    computation (which cost ~7ms/step of device time at 4096 autoreset
-    envs in traces). Rows are stored flat (P, N*k) so the per-env gather
-    is one contiguous row fetch; ring-dirs are derived on device from
-    flat-cell deltas (feeding the ring from a precomputed gather flips
-    XLA's ring layout and makes the ring ops ~8x slower — see
-    engine._reset_core).
+    ``reset`` draws one row and gathers it — a single small gather
+    instead of the chained pool-row -> candidate-path computation (which
+    cost ~7ms/step of device time at 4096 autoreset envs in traces).
+    Rows are stored flat so the per-env gather is one contiguous row
+    fetch; ring-dirs are derived on device from flat-cell deltas
+    (feeding the ring from a precomputed gather flips XLA's ring layout
+    and makes the ring ops ~8x slower — see engine._reset_core).
+
+    ``blob`` additionally carries the fully PAINTED reset grid per row
+    (body/head/tail codes on the walled base grid, pre-fruit) so reset
+    needs zero on-device paint passes: TPU row gathers are latency-bound,
+    not byte-bound (a 24-byte row and a 424-byte row gather cost the
+    same ~50us/step at 4096 envs), while the three dense one-hot paint
+    reductions they replace cost ~2.5ms/64 steps. Layout:
+    ``blob[:, :H*W]`` painted grid cells (uint8 packed codes),
+    ``blob[:, H*W:]`` the (N*k,) flat cells as little-endian uint16
+    byte pairs (so one gather serves both; cells are reconstructed
+    arithmetically on device). None when H*W doesn't fit uint16.
     """
     cells: np.ndarray  # (P, N*k) int32 — head-first flat r*W+c indices
+    blob: np.ndarray = None  # (P, H*W + 2*N*k) uint8, or None
+
+
+def base_grid_host(height: int, width: int, map_layout=None) -> np.ndarray:
+    """Host mirror of engine.make_empty_grid (same codes, numpy)."""
+    from marlsnake_tpu.core import types as T
+    if map_layout is not None:
+        from marlsnake_tpu.core.maps import parse_layout
+        mask = parse_layout(map_layout)
+        return np.where(mask, T.WALL, T.EMPTY).astype(np.int32)
+    grid = np.full((height, width), T.EMPTY, dtype=np.int32)
+    grid[[0, -1], :] = T.WALL
+    grid[:, [0, -1]] = T.WALL
+    return grid
 
 
 @functools.lru_cache(maxsize=32)
 def spawn_data(height: int, width: int, k: int, num_snakes: int,
                pool_size: int = 1 << 16, seed: int = 0,
                map_layout=None) -> SpawnData:
-    """Precompute the flat spawn cells of every pool row."""
+    """Precompute the flat spawn cells + painted grid of every pool row."""
+    from marlsnake_tpu.core import types as T
     cand = spawn_candidates(height, width, k, map_layout)
     pool = spawn_pool(height, width, k, num_snakes, pool_size, seed,
                       map_layout)
     coords = cand[pool]  # (P, N, k, 2)
     cells = coords[..., 0].astype(np.int64) * width + coords[..., 1]
     cells = cells.reshape(cells.shape[0], -1)  # (P, N*k) contiguous rows
-    # int16 rows halve the bytes of the per-reset row gather (flat cell
-    # indices fit for any board up to 181x181); widened after the gather
-    dtype = np.int16 if height * width < 2**15 else np.int32
-    return SpawnData(cells=np.ascontiguousarray(cells.astype(dtype)))
+    cells = np.ascontiguousarray(cells.astype(np.int32))
+
+    blob = None
+    if height * width <= 0xFFFF and len(cells):
+        p = len(cells)
+        base = base_grid_host(height, width, map_layout)
+        painted = np.broadcast_to(
+            base.reshape(-1).astype(np.uint8), (p, height * width)).copy()
+        rows = np.arange(p)[:, None]
+        ids = (np.arange(num_snakes, dtype=np.uint8)
+               << T.OWNER_SHIFT)  # owner bits
+        c3 = cells.reshape(p, num_snakes, k)
+        # body, then head, then tail — same order as the device paint
+        # (engine._reset_core / reference snake_env.py:138-144)
+        painted[rows, c3.reshape(p, -1)] = np.repeat(T.BODY + ids, k)[None]
+        painted[rows, c3[:, :, 0]] = (T.HEAD + ids)[None]
+        painted[rows, c3[:, :, -1]] = (T.TAIL + ids)[None]
+        cell_bytes = cells.astype('<u2').view(np.uint8).reshape(p, -1)
+        blob = np.ascontiguousarray(
+            np.concatenate([painted, cell_bytes], axis=1))
+    return SpawnData(cells=cells, blob=blob)
 
 
 @functools.lru_cache(maxsize=32)

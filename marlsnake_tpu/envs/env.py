@@ -58,7 +58,8 @@ class SnakeEnv:
         sd = spawn_data(cfg.height, cfg.width, cfg.snake_length,
                         cfg.num_snakes, pool_size=cfg.spawn_pool_size,
                         map_layout=cfg.map_layout)
-        self.spawn = SpawnData(jnp.asarray(sd.cells))
+        self.spawn = SpawnData(jnp.asarray(sd.cells),
+                      None if sd.blob is None else jnp.asarray(sd.blob))
         self._reset = jax.jit(
             functools.partial(engine.reset, cfg, self.spawn))
         self._step = jax.jit(functools.partial(engine.step, cfg))

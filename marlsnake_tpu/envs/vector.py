@@ -35,7 +35,8 @@ def build_vector_fns(cfg: EnvConfig, autoreset: bool = True):
     sd = spawn_data(cfg.height, cfg.width, cfg.snake_length,
                     cfg.num_snakes, pool_size=cfg.spawn_pool_size,
                     map_layout=cfg.map_layout)
-    spawn = SpawnData(jnp.asarray(sd.cells))
+    spawn = SpawnData(jnp.asarray(sd.cells),
+                      None if sd.blob is None else jnp.asarray(sd.blob))
     reset1 = functools.partial(engine.reset, cfg, spawn)
     if autoreset:
         # Fused step+reset with an unconditional per-env select: at batch

@@ -72,3 +72,64 @@ def test_40x40_scale_enumeration_is_fast():
     # disjointness: every pool row places 8 snakes on 40 distinct cells
     rows = sd.cells[:128].astype(np.int64)
     assert all(len(np.unique(r)) == 40 for r in rows)
+
+
+@pytest.mark.parametrize('cfg_kw', [
+    dict(height=10, width=10, num_snakes=2, snake_length=3),
+    dict(height=20, width=20, num_snakes=4, snake_length=3),
+    dict(height=20, width=20, num_snakes=8, snake_length=3,
+         map_layout='cross'),
+])
+def test_blob_reset_equals_dense_paint(cfg_kw):
+    """SpawnData.blob (host-painted reset grid + cells as LE u16 bytes,
+    fetched by one row gather) must be bit-identical to the on-device
+    dense-paint fallback for EVERY pool row, and engine.reset must
+    produce identical states through either path."""
+    import jax
+    import jax.numpy as jnp
+    from marlsnake_tpu.core import engine
+    from marlsnake_tpu.core.spawn import SpawnData, spawn_data, base_grid_host
+    from marlsnake_tpu.core.types import EnvConfig
+    from marlsnake_tpu.core.maps import load_layout
+
+    kw = dict(cfg_kw)
+    layout = load_layout('20x20_cross') if kw.pop('map_layout', None) else None
+    cfg = EnvConfig(snake_length=kw.pop('snake_length'),
+                    map_layout=layout, spawn_pool_size=256, **kw)
+    sd = spawn_data(cfg.height, cfg.width, cfg.snake_length,
+                    cfg.num_snakes, pool_size=cfg.spawn_pool_size,
+                    map_layout=cfg.map_layout)
+    assert sd.blob is not None
+    p, hw = len(sd.cells), cfg.height * cfg.width
+
+    # (a) every row: painted section == numpy repaint; byte section == cells
+    base = base_grid_host(cfg.height, cfg.width, cfg.map_layout).reshape(-1)
+    import marlsnake_tpu.core.types as T
+    n, k = cfg.num_snakes, cfg.snake_length
+    c3 = sd.cells.reshape(p, n, k)
+    expect = np.broadcast_to(base.astype(np.uint8), (p, hw)).copy()
+    rows = np.arange(p)[:, None]
+    ids = (np.arange(n, dtype=np.uint8) << T.OWNER_SHIFT)
+    expect[rows, c3.reshape(p, -1)] = np.repeat(T.BODY + ids, k)[None]
+    expect[rows, c3[:, :, 0]] = (T.HEAD + ids)[None]
+    expect[rows, c3[:, :, -1]] = (T.TAIL + ids)[None]
+    np.testing.assert_array_equal(sd.blob[:, :hw], expect)
+    back = (sd.blob[:, hw::2].astype(np.int32)
+            | (sd.blob[:, hw + 1::2].astype(np.int32) << 8))
+    np.testing.assert_array_equal(back, sd.cells)
+
+    # (b) engine.reset: blob path == dense-paint path, whole state + obs
+    import jax.numpy as jnp
+    spawn_blob = SpawnData(jnp.asarray(sd.cells), jnp.asarray(sd.blob))
+    spawn_paint = SpawnData(jnp.asarray(sd.cells), None)
+    for seed in range(4):
+        key = jax.random.key(seed)
+        s1, o1 = jax.jit(lambda k: engine.reset(cfg, spawn_blob, k))(key)
+        s2, o2 = jax.jit(lambda k: engine.reset(cfg, spawn_paint, k))(key)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                *((jax.random.key_data(a), jax.random.key_data(b))
+                  if jnp.issubdtype(a.dtype, jax.dtypes.prng_key)
+                  else (a, b))),
+            s1, s2)
+        np.testing.assert_array_equal(o1, o2)
