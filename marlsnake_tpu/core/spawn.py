@@ -205,13 +205,16 @@ class SpawnData(NamedTuple):
     not byte-bound (a 24-byte row and a 424-byte row gather cost the
     same ~50us/step at 4096 envs), while the three dense one-hot paint
     reductions they replace cost ~2.5ms/64 steps. Layout:
-    ``blob[:, :H*W]`` painted grid cells (uint8 packed codes),
-    ``blob[:, H*W:]`` the (N*k,) flat cells as little-endian uint16
-    byte pairs (so one gather serves both; cells are reconstructed
-    arithmetically on device). None when H*W doesn't fit uint16.
+    Byte layout per row (viewed as little-endian u32 words — the row
+    gather's kCustom lowering scales with element count, so 4 bytes per
+    element is ~25% cheaper than u8): painted grid cells (uint8 packed
+    codes, zero-padded to a word boundary), then the (N*k,) flat cells
+    as uint16 pairs (padded likewise). One gather serves both; cells
+    and grid bytes are unpacked arithmetically on device
+    (engine._reset_core). None when H*W doesn't fit uint16.
     """
     cells: np.ndarray  # (P, N*k) int32 — head-first flat r*W+c indices
-    blob: np.ndarray = None  # (P, H*W + 2*N*k) uint8, or None
+    blob: np.ndarray = None  # (P, ceil(H*W/4) + ceil(N*k/2)) <u4, or None
 
 
 def base_grid_host(height: int, width: int, map_layout=None) -> np.ndarray:
@@ -257,8 +260,17 @@ def spawn_data(height: int, width: int, k: int, num_snakes: int,
         painted[rows, c3[:, :, 0]] = (T.HEAD + ids)[None]
         painted[rows, c3[:, :, -1]] = (T.TAIL + ids)[None]
         cell_bytes = cells.astype('<u2').view(np.uint8).reshape(p, -1)
-        blob = np.ascontiguousarray(
-            np.concatenate([painted, cell_bytes], axis=1))
+        # pack the byte row into little-endian u32 words (each section
+        # zero-padded to a word boundary): the per-env reset row gather
+        # lowers to a kCustom dynamic-gather whose cost scales with the
+        # ELEMENT count, not bytes — 4x fewer elements measured
+        # 4.2 -> ~3.3ms/64 steps at 4096 envs (see engine._reset_core)
+        pad_g = -painted.shape[1] % 4
+        pad_c = -cell_bytes.shape[1] % 4
+        raw = np.concatenate(
+            [painted, np.zeros((p, pad_g), np.uint8),
+             cell_bytes, np.zeros((p, pad_c), np.uint8)], axis=1)
+        blob = np.ascontiguousarray(raw).view('<u4')
     return SpawnData(cells=cells, blob=blob)
 
 

@@ -81,10 +81,11 @@ def test_40x40_scale_enumeration_is_fast():
          map_layout='cross'),
 ])
 def test_blob_reset_equals_dense_paint(cfg_kw):
-    """SpawnData.blob (host-painted reset grid + cells as LE u16 bytes,
-    fetched by one row gather) must be bit-identical to the on-device
-    dense-paint fallback for EVERY pool row, and engine.reset must
-    produce identical states through either path."""
+    """SpawnData.blob (host-painted reset grid + cells as LE u16 pairs,
+    packed into LE u32 words and fetched by one row gather) must be
+    bit-identical to the on-device dense-paint fallback for EVERY pool
+    row, and engine.reset must produce identical states through either
+    path."""
     import jax
     import jax.numpy as jnp
     from marlsnake_tpu.core import engine
@@ -113,9 +114,13 @@ def test_blob_reset_equals_dense_paint(cfg_kw):
     expect[rows, c3.reshape(p, -1)] = np.repeat(T.BODY + ids, k)[None]
     expect[rows, c3[:, :, 0]] = (T.HEAD + ids)[None]
     expect[rows, c3[:, :, -1]] = (T.TAIL + ids)[None]
-    np.testing.assert_array_equal(sd.blob[:, :hw], expect)
-    back = (sd.blob[:, hw::2].astype(np.int32)
-            | (sd.blob[:, hw + 1::2].astype(np.int32) << 8))
+    assert sd.blob.dtype == np.dtype('<u4')
+    blob_bytes = sd.blob.view(np.uint8)
+    np.testing.assert_array_equal(blob_bytes[:, :hw], expect)
+    coff = 4 * (-(-hw // 4))  # grid section padded to a word boundary
+    cell_b = blob_bytes[:, coff:coff + 2 * n * k]
+    back = (cell_b[:, ::2].astype(np.int32)
+            | (cell_b[:, 1::2].astype(np.int32) << 8))
     np.testing.assert_array_equal(back, sd.cells)
 
     # (b) engine.reset: blob path == dense-paint path, whole state + obs
