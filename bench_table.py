@@ -65,6 +65,53 @@ def measure(cfg: EnvConfig, num_envs: int, num_steps: int = 256,
     return num_envs * num_steps * iters / (time.perf_counter() - t0)
 
 
+def measure_acting(cfg: EnvConfig, num_envs: int, num_steps: int = 64,
+                   iters: int = 3) -> float:
+    """Policy-in-the-loop rollout: greedy DQN actions for every agent
+    (one batched (E*N) forward per step), env step, auto-reset — the
+    actor loop of training/eval as ONE jitted scan. The policy consumes
+    the observations, so no separate checksum is needed. The reference's
+    analog is a per-agent batch-1 torch forward on host obs
+    (train_dqn.py:163-173), unmeasurably slower."""
+    import functools
+    import jax.numpy as jnp
+    from marlsnake_tpu.envs.vector import build_vector_fns
+    from marlsnake_tpu.models.dqn import DQN
+
+    reset_fn, step_fn = build_vector_fns(cfg, autoreset=True)
+    net = DQN(num_actions=cfg.num_actions)
+    e, n = num_envs, cfg.num_snakes
+
+    @jax.jit
+    def init(key):
+        keys = jax.random.split(key, e)
+        states, obs = reset_fn(keys)
+        params = net.init(jax.random.key(7), obs.reshape((e * n,) + obs.shape[2:])[:1])
+        return states, obs, params
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def rollout(states, obs, params):
+        def body(carry, _):
+            states, obs = carry
+            q = net.apply(params, obs.reshape((e * n,) + obs.shape[2:]))
+            actions = q.argmax(-1).astype(jnp.int32).reshape(e, n)
+            states, out = step_fn(states, actions)
+            return (states, out.obs), out.reward.sum()
+
+        (states, obs), rews = jax.lax.scan(body, (states, obs),
+                                           length=num_steps)
+        return states, obs, rews.sum()
+
+    states, obs, params = init(jax.random.key(0))
+    states, obs, r = rollout(states, obs, params)
+    r.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        states, obs, r = rollout(states, obs, params)
+    r.block_until_ready()
+    return e * num_steps * iters / (time.perf_counter() - t0)
+
+
 def main():
     rows = []
     for tag, num_envs, cfg, ref in CONFIGS:
@@ -78,6 +125,15 @@ def main():
         }
         rows.append(row)
         print(json.dumps(row))
+    # policy-in-the-loop: greedy DQN forward for all 4096*4 agents
+    # fused into the same jitted rollout (the actor loop of eval/training)
+    sps = measure_acting(
+        EnvConfig(height=20, width=20, num_snakes=4, snake_length=3), 4096)
+    row = {'config': '20x20x4_dqn_policy_in_loop', 'num_envs': 4096,
+           'steps_per_sec': round(sps, 1),
+           'reference_steps_per_sec': None, 'vs_reference': None}
+    rows.append(row)
+    print(json.dumps(row))
     os.makedirs('artifacts', exist_ok=True)
     with open('artifacts/BENCH_TABLE.json', 'w') as f:
         json.dump({'unit': 'env-steps/s/chip', 'rows': rows}, f, indent=1)

@@ -70,7 +70,7 @@ def main():
     print(f'total attributed device time: {total/1e3:.2f} ms '
           f'({num_envs}x{num_steps} env-steps)')
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for name, dur in by_op.most_common(30):
+    for name, dur in by_op.most_common(int(os.environ.get("TRACE_TOP", 30))):
         _, src, tf_op = meta[name]
         src = src.replace(repo_root + '/', '')
         print(f'{dur/1e3:9.2f} ms  {100*dur/total:5.1f}%  {name:<28}'
