@@ -79,6 +79,9 @@ def test_40x40_scale_enumeration_is_fast():
     dict(height=20, width=20, num_snakes=4, snake_length=3),
     dict(height=20, width=20, num_snakes=8, snake_length=3,
          map_layout='cross'),
+    # H*W % 4 != 0 and odd cell count: exercises the blob's u32-word
+    # zero-padding of both the grid and cell sections
+    dict(height=11, width=13, num_snakes=3, snake_length=3),
 ])
 def test_blob_reset_equals_dense_paint(cfg_kw):
     """SpawnData.blob (host-painted reset grid + cells as LE u16 pairs,
