@@ -390,8 +390,8 @@ def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray,
     # vs ~3ms for this arithmetic), and a coords round-trip would pay
     # (N, k) s32 divmods.
     dirs = flat_delta_to_dir(cell_flat[:, :-1] - cell_flat[:, 1:], w)
-    ring = jnp.zeros((n, cfg.body_capacity), dtype=jnp.int8)
-    ring = ring.at[:, :k - 1].set(dirs.astype(jnp.int8))
+    ring = jnp.zeros((n, cfg.body_capacity), dtype=jnp.int32)
+    ring = ring.at[:, :k - 1].set(dirs)
 
     hf, tf = cell_flat[:, 0], cell_flat[:, -1]
     head = jnp.stack([hf // w, hf % w], -1).astype(jnp.int32)

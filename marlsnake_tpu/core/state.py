@@ -34,8 +34,11 @@ class EnvState:
     # (N, 2) int32 — head / tail coordinates (row, col)
     head: jnp.ndarray
     tail: jnp.ndarray
-    # (N, CAP) int8 — direction ring buffer (newest at ring_head);
-    # directions fit in 2 bits, so int8 minimizes HBM traffic
+    # (N, CAP) int32 — direction ring buffer (newest at ring_head).
+    # Directions fit in 2 bits, but int8 storage measured SLOWER: the
+    # ring is tiny (1MB/step at 4096 envs — not bandwidth-bound) and
+    # int8 minor dims waste VPU lanes / pay widening on every pop
+    # (same finding as the reverted int8 grid, CLAUDE.md)
     ring: jnp.ndarray
     # (N,) int32
     ring_head: jnp.ndarray

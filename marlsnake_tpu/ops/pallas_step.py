@@ -456,7 +456,7 @@ def build_pallas_step(cfg: T.EnvConfig, candidates, pool,
         key_out = jnp.where(done_b, k_state, new_keys)
         new_state = states.replace(
             grid=g.reshape(b, h, w), direction=dirs, head=head, tail=tail,
-            ring=ring.astype(jnp.int8), ring_head=rh, ring_len=rl,
+            ring=ring, ring_head=rh, ring_len=rl,
             alive=alive > 0,
             alive_count=acount[:, 0], epi_scores=sc, epi_steps=st,
             epi_fruits=fr, epi_kills=ki, episode_length=el[:, 0],
