@@ -23,7 +23,11 @@ Semantics parity notes (cross-checked against the reference, cited per phase):
   quirk); we reproduce that arithmetic in ``alive_count`` because the win
   flag reads it.
 * Phase 4 — win flag (snake_env.py:347-352): re-derived every step from
-  ``alive_count == 1``.
+  ``alive_count == 1``, set on the FIRST alive snake only (the reference
+  iterates in index order and breaks). The distinction is reachable: the
+  phase-3 double-decrement quirk can drive ``alive_count`` to 1 while >=3
+  snakes are actually alive (num_snakes >= 5, eater + 2 chasers that also
+  multi-collide -> 4 decrements for 2 deaths).
 * Phase 5 — rewards (snake_env.py:358-374): snakes already dead before the
   step get exactly 0; no time reward on the dying step.
 * Phase 6 — grid update: the reference mutates sequentially in snake-index
@@ -569,7 +573,10 @@ def _step_core(cfg: T.EnvConfig, state: EnvState,
     alive1 = alive0 & ~dead_now
 
     # --- Phase 4: win flag ---
-    win = (alive_count == 1) & (n > 1) & alive1
+    # first alive snake ONLY (snake_env.py:347-352 breaks after one); the
+    # counter can read 1 with several snakes alive (double-decrement quirk)
+    prior_alive = (alive1[None, :] & (idx_n[None, :] < idx_n[:, None])).any(1)
+    win = (alive_count == 1) & (n > 1) & alive1 & ~prior_alive
 
     # --- Phase 5: rewards ---
     was_dead = ~alive0

@@ -139,9 +139,13 @@ def _step_block(cfg: T.EnvConfig, tables, refs):
     alive1 = alive0 & ~dead_now
 
     # --- Phase 4/5: win + rewards ---
+    # first alive snake ONLY (snake_env.py:347-352 breaks after one)
+    prior_alive = ((bx(alive1, 1)
+                    & (idx_n < jnp.swapaxes(idx_n, 1, 2)))
+                   .astype(jnp.int32).max(2) > 0)  # (E, N)
     ones_n = jnp.ones((1, n), jnp.int32)
     win = (((alive_count == 1).astype(jnp.int32) * ones_n) > 0) \
-        & (n > 1) & alive1
+        & (n > 1) & alive1 & ~prior_alive
     was_dead = ~alive0
     rew = (r_time * alive1.astype(jnp.float32)
            + r_fruit * eats.astype(jnp.float32)

@@ -247,6 +247,52 @@ def test_win_flag_reset_every_step():
             REWARDS['time'] + REWARDS['win'], atol=1e-6)
 
 
+def test_win_first_alive_only_double_decrement():
+    """The double-decrement quirk drives alive_count to 1 while THREE
+    snakes are actually alive; the reference then sets win on the FIRST
+    alive snake only (snake_env.py:347-352 breaks after one).
+
+    Construction (num_snakes=5): s2 eats a fruit while s3 and s4 both
+    target s2's old tail. The two chasers multi-collide (phase-2 death,
+    -2) AND each counts again in the tail-chase pass (phase-3, -2,
+    snake_env.py:334-346 never dedups) -> alive_count = 5 - 4 = 1 with
+    s0, s1, s2 alive. Only s0 (lowest alive index) may earn the win
+    reward."""
+    sc = Scenario(
+        spawns=[[(2, 2), (2, 3), (2, 4)],    # s0 bystander, LEFT
+                [(9, 2), (9, 3), (9, 4)],    # s1 bystander, LEFT
+                [(5, 6), (5, 7), (5, 8)],    # s2 eater, LEFT onto fruit
+                [(4, 8), (3, 8), (2, 8)],    # s3 chaser, DOWN onto tail
+                [(6, 8), (7, 8), (8, 8)]],   # s4 chaser, UP onto tail
+        fruit_queue=[(5, 5),     # initial fruit: s2's next head cell
+                     (10, 10)])  # respawn after s2 eats
+    out, info = sc.step([0, 0, 0, 0, 0])
+    assert np.asarray(out.done).tolist() == [False, False, False,
+                                             True, True]
+    rew = np.asarray(out.reward)
+    # s0: time + win (first alive); s1/s2 alive but NO win
+    np.testing.assert_allclose(rew[0], REWARDS['time'] + REWARDS['win'],
+                               atol=1e-6)
+    np.testing.assert_allclose(rew[1], REWARDS['time'], atol=1e-6)
+    # s2: time + fruit + 2 chase kills (one per chaser), no win
+    np.testing.assert_allclose(
+        rew[2], REWARDS['time'] + REWARDS['fruit'] + 2 * REWARDS['kill'],
+        atol=1e-6)
+    # chasers: multi-collision, lose only (no kill credit for multi)
+    np.testing.assert_allclose(rew[3:], [REWARDS['lose']] * 2, atol=1e-6)
+    # the quirk itself: the counter reads 1 with three snakes alive
+    assert int(sc.state.alive_count) == 1
+    assert np.asarray(sc.state.alive).tolist() == [True, True, True,
+                                                   False, False]
+    # and win keeps landing on s0 ONLY on subsequent steps (bystanders
+    # turn left away from the border wall they now face)
+    out, _ = sc.step([1, 1, 0, 0, 0])
+    rew = np.asarray(out.reward)
+    np.testing.assert_allclose(rew[0], REWARDS['time'] + REWARDS['win'],
+                               atol=1e-6)
+    np.testing.assert_allclose(rew[1], REWARDS['time'], atol=1e-6)
+
+
 def test_timeout_masks_dying_step_stats():
     """At max_episode_steps all dones are forced; the final (dying) step's
     reward/steps are EXCLUDED from the episodic totals

@@ -35,6 +35,14 @@ CONFIGS = [
     EnvConfig(height=16, width=16, num_snakes=4, snake_length=3,
               num_fruits=0,
               rewards=(1.0, 2.0, -3.0, 4.0, 0.1)),
+    # n>=5: the phase-3 double-decrement quirk can drive alive_count to 1
+    # with several snakes alive — exercises the first-alive-only win mask
+    # (engine phase 4 vs snake_env.py:347-352); win reward nonzero so a
+    # wrong mask shows up in the reward stream
+    EnvConfig(height=14, width=14, num_snakes=5, snake_length=3,
+              num_fruits=4, rewards=(10.0, 7.0, -3.0, 5.0, -0.01)),
+    EnvConfig(height=16, width=16, num_snakes=6, snake_length=3,
+              num_fruits=5, rewards=(10.0, 7.0, -3.0, 5.0, -0.01)),
 ]
 
 
