@@ -81,21 +81,24 @@ def main():
     # 5-8% (CLAUDE.md) and entirely host/tunnel-side, so the fastest
     # block is the honest device throughput
     iters = 4
-    best_dt = float('inf')
+    dts = []
     for block in range(3):
         t0 = time.perf_counter()
         for i in range(iters):
             states, r = rollout(states, jax.random.key(2 + block * iters + i))
         r.block_until_ready()
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        dts.append(time.perf_counter() - t0)
 
     total_env_steps = num_envs * num_steps * iters
-    steps_per_sec = total_env_steps / best_dt
+    steps_per_sec = total_env_steps / min(dts)
+    # median alongside best-of-3 so the spread is visible, not trusted
+    median_sps = total_env_steps / sorted(dts)[len(dts) // 2]
     print(json.dumps({
         'metric': 'env-steps/s/chip at 4096 parallel envs (20x20, 4 snakes)',
         'value': round(steps_per_sec, 1),
         'unit': 'env-steps/s',
         'vs_baseline': round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+        'median': round(median_sps, 1),
     }))
 
 

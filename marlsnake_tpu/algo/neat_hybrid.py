@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from marlsnake_tpu.algo.neat import (FeedForwardNetwork, Genome,
-                                     NeatConfig, Population)
+                                     NeatConfig, Population,
+                                     _required_nodes, _topo_layers)
 from marlsnake_tpu.core.types import EnvConfig
 from marlsnake_tpu.envs.vector import build_vector_fns
 from marlsnake_tpu.models.dqn import DQN
@@ -57,6 +58,115 @@ def fc3_to_genome(params, neat_cfg: NeatConfig) -> Genome:
         for i, ik in enumerate(neat_cfg.input_keys):
             genome.connections[(ik, ok)].weight = float(kernel[i, o])
     return genome
+
+
+class PaddedNetBatch:
+    """The whole population's genomes as ONE padded dense-sweep stack.
+
+    Any feed-forward NEAT net is evaluated EXACTLY by K sweeps of a
+    masked dense adjacency matmul over its full node-value vector
+    (K = topo depth): after sweep k every node of depth <= k holds its
+    final value, so reading the output slots after K_max sweeps
+    reproduces ``FeedForwardNetwork.activate`` (topo order, missing
+    sources read as 0 — neat.py:305-314) for every genome at once.
+    Structural mutations just add rows: the WHOLE population keeps
+    acting on device as topologies mutate, replacing the per-step
+    per-genome host fallback.
+
+    Node slots per genome: [0, I) inputs, [I, I+O) outputs (value stays
+    0 when an output is never evaluated, matching ``values.get(k, 0)``),
+    then required hidden nodes. M is padded to a multiple of 16 and K to
+    a multiple of 2 so jit recompiles happen only when the population's
+    max topology crosses a bucket, not every generation.
+    """
+
+    ACT_IDS = {'relu': 0, 'sigmoid': 1, 'tanh': 2}
+
+    def __init__(self, genomes, cfg: NeatConfig):
+        inp, out = cfg.num_inputs, cfg.num_outputs
+        self.num_inputs, self.num_outputs = inp, out
+        pop = len(genomes)
+
+        rows = []
+        for g in genomes:
+            conns = [(i, o) for (i, o), c in g.connections.items()
+                     if c.enabled]
+            required = _required_nodes(cfg.input_keys, cfg.output_keys,
+                                       conns, g.nodes)
+            layers = _topo_layers(cfg.input_keys, conns, required)
+            rows.append((g, conns, layers))
+
+        max_hidden = max(
+            (sum(1 for layer in layers for nk in layer
+                 if nk not in cfg.output_keys)
+             for _, _, layers in rows), default=0)
+        m = inp + out + max_hidden
+        self.m = m = -(-m // 16) * 16
+        k = max((len(layers) for _, _, layers in rows), default=1)
+        self.num_sweeps = k = -(-max(k, 1) // 2) * 2
+
+        w = np.zeros((pop, m, m), np.float32)
+        b = np.zeros((pop, m), np.float32)
+        act = np.zeros((pop, m), np.int32)
+        ev = np.zeros((pop, m), bool)
+        in_pos = {nk: i for i, nk in enumerate(cfg.input_keys)}
+        out_pos = {nk: inp + j for j, nk in enumerate(cfg.output_keys)}
+        for p, (g, conns, layers) in enumerate(rows):
+            slot = dict(in_pos)
+            slot.update(out_pos)
+            next_hidden = inp + out
+            for layer in layers:
+                for nk in layer:
+                    if nk not in slot:
+                        slot[nk] = next_hidden
+                        next_hidden += 1
+            for layer in layers:
+                for nk in layer:
+                    s = slot[nk]
+                    ev[p, s] = True
+                    b[p, s] = g.nodes[nk].bias
+                    act[p, s] = self.ACT_IDS[g.nodes[nk].activation]
+                    for (i, o) in conns:
+                        if o != nk or i not in slot:
+                            # sources without a slot are never evaluated
+                            # -> contribute 0, like values.get(i, 0.0)
+                            continue
+                        w[p, s, slot[i]] += g.connections[(i, o)].weight
+
+        wd, bd = jnp.asarray(w), jnp.asarray(b)
+        actd, evd = jnp.asarray(act), jnp.asarray(ev)
+        num_sweeps = self.num_sweeps
+
+        def run_sweeps(emb):  # (pop, n, inp) -> (pop, n, out) values
+            v = jnp.pad(emb.astype(jnp.float32),
+                        ((0, 0), (0, 0), (0, m - inp)))
+
+            def sweep(_, v):
+                pre = jnp.einsum('pmj,pnj->pnm', wd, v) + bd[:, None, :]
+                relu_v = jnp.maximum(pre, 0.0)
+                sig_v = jax.nn.sigmoid(jnp.clip(5.0 * pre, -60.0, 60.0))
+                tanh_v = jnp.tanh(jnp.clip(2.5 * pre, -60.0, 60.0))
+                a = actd[:, None, :]
+                new = jnp.where(a == 1, sig_v,
+                                jnp.where(a == 2, tanh_v, relu_v))
+                return jnp.where(evd[:, None, :], new, v)
+
+            v = jax.lax.fori_loop(0, num_sweeps, sweep, v)
+            return v[..., inp:inp + out]
+
+        self._acts = jax.jit(
+            lambda emb: jnp.argmax(run_sweeps(emb), axis=-1)
+            .astype(jnp.int32))
+        self._logits = jax.jit(run_sweeps)
+
+    def acts(self, emb) -> jnp.ndarray:
+        """(pop, n, num_inputs) embeddings -> (pop, n) greedy actions."""
+        return self._acts(emb)
+
+    def logits(self, emb) -> np.ndarray:
+        """Output-node values (pop, n, num_outputs) — for equivalence
+        tests against FeedForwardNetwork.activate."""
+        return np.asarray(self._logits(jnp.asarray(emb)))
 
 
 class HybridNEATTrainer:
@@ -93,62 +203,19 @@ class HybridNEATTrainer:
         self._step_jit = jax.jit(self._step_env)
         self._reset_jit = jax.jit(self._reset_env)
 
-    # ------------------------------------------------------------------
-    @staticmethod
-    def _dense_head(genome, cfg: NeatConfig):
-        """(W (in, out), b (out,), acts (out,)) for hidden-free genomes
-        with relu outputs, else None — these act as one batched matmul."""
-        import numpy as np
-        if set(genome.nodes) != set(cfg.output_keys):
-            return None
-        if any(genome.nodes[k].activation != 'relu'
-               for k in cfg.output_keys):
-            return None
-        w = np.zeros((cfg.num_inputs, cfg.num_outputs), np.float32)
-        b = np.asarray([genome.nodes[k].bias for k in cfg.output_keys],
-                       np.float32)
-        in_pos = {k: i for i, k in enumerate(cfg.input_keys)}
-        out_pos = {k: i for i, k in enumerate(cfg.output_keys)}
-        for (i, o), conn in genome.connections.items():
-            if not conn.enabled:
-                continue
-            if i not in in_pos or o not in out_pos:
-                return None
-            w[in_pos[i], out_pos[o]] = conn.weight
-        return w, b
-
     def eval_genomes(self, genomes, cfg: NeatConfig):
         """Batched fitness: one env per genome, all stepped together.
 
-        Genomes that are still pure input->output relu heads (the
-        full_direct initial topology, which most of the population stays
-        at) act through ONE stacked device matmul; structurally-mutated
-        genomes fall back to the per-step python network."""
+        The WHOLE population acts on device regardless of topology:
+        genomes are stacked into one :class:`PaddedNetBatch` (K masked
+        dense sweeps reproduce ``FeedForwardNetwork.activate`` exactly),
+        so structural mutations no longer drop anyone to a per-step
+        python fallback — generation wall time stays flat as topologies
+        mutate."""
         import numpy as np
         n = self.env_cfg.num_snakes
         pop = len(genomes)
-        dense = [self._dense_head(g, cfg) for _, g in genomes]
-        nets = [None if d is not None else FeedForwardNetwork.create(g, cfg)
-                for d, (_, g) in zip(dense, genomes)]
-        any_dense = any(d is not None for d in dense)
-        if any_dense:
-            dw = np.stack([d[0] if d is not None
-                           else np.zeros((cfg.num_inputs, cfg.num_outputs),
-                                         np.float32) for d in dense])
-            db = np.stack([d[1] if d is not None
-                           else np.zeros(cfg.num_outputs, np.float32)
-                           for d in dense])
-            dw, db = jnp.asarray(dw), jnp.asarray(db)
-
-            @jax.jit
-            def dense_acts(emb, dw, db):
-                # emb (pop, N, 128) x dw (pop, 128, 3) -> argmax actions
-                logits = jnp.einsum('pni,pio->pno', emb, dw) + db[:, None]
-                return jnp.argmax(jax.nn.relu(logits), axis=-1)
-
-            self._dense_acts = dense_acts
-        else:
-            dw = db = None
+        batch = PaddedNetBatch([g for _, g in genomes], cfg)
         keys = jax.random.split(
             jax.random.fold_in(jax.random.key(self.seed), self._gen_tick()),
             pop)
@@ -157,23 +224,8 @@ class HybridNEATTrainer:
         done = np.zeros((pop, n), bool)
         for _ in range(self.episode_steps):
             emb_dev = self._embed(self.dqn_params, jnp.asarray(obs))
-            if any_dense:
-                dense_a = np.asarray(
-                    self._dense_acts(emb_dev, dw, db))
-            emb = None
-            actions = np.zeros((pop, n), np.int32)
-            for p in range(pop):
-                if done[p].all():
-                    continue
-                if nets[p] is None:
-                    actions[p] = np.where(done[p], 0, dense_a[p])
-                    continue
-                if emb is None:
-                    emb = np.asarray(emb_dev)
-                for i in range(n):
-                    if not done[p, i]:
-                        actions[p, i] = int(np.argmax(
-                            nets[p].activate(emb[p, i])))
+            acts = np.asarray(batch.acts(emb_dev))
+            actions = np.where(done, 0, acts).astype(np.int32)
             states, out = self._step_jit(states, jnp.asarray(actions))
             rews = np.asarray(out.reward)
             returns += rews

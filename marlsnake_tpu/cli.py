@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument('--no-render', action='store_true')
     b.add_argument('--hybrid-pickle', type=str,
                    default='hybrid_neat_best.pkl')
+    b.add_argument('--ppo-checkpoint', type=str,
+                   default='/root/reference/marlenv/runs/ppo/'
+                           '20251228-155100/best_model.pt',
+                   help='torch PPO checkpoint for the reference default '
+                        'opponent (train_dqn.py:986-991); skipped when '
+                        'the file is absent')
 
     g = sub.add_parser('neat', help='hybrid NEAT evolution over a frozen '
                                     'DQN feature extractor')
@@ -151,13 +157,27 @@ def main(argv=None):
         env = make('Snake-v1', num_snakes=args.num_snakes,
                    height=args.height, width=args.width,
                    snake_length=args.snake_length, seed=args.seed)
+        # reference default lineup: masked DQN vs PPO vs HybridNEAT vs
+        # Greedy (train_dqn.py:986-1003); unavailable opponents are
+        # replaced by Random fillers
         enemies = []
         names = ['DQN (Main)']
+        if args.ppo_checkpoint and os.path.exists(args.ppo_checkpoint):
+            import torch
+            from marlsnake_tpu.algo.opponents import PPOAgent
+            from marlsnake_tpu.models.torch_interop import (
+                ppo_params_from_torch)
+            ckpt = torch.load(args.ppo_checkpoint, map_location='cpu',
+                              weights_only=False)
+            sd = ckpt.get('model_state_dict', ckpt)
+            enemies.append(PPOAgent(1, ppo_params_from_torch(sd)))
+            names.append('PPO')
         if os.path.exists(args.hybrid_pickle):
             import pickle
             with open(args.hybrid_pickle, 'rb') as f:
                 data = pickle.load(f)
-            enemies.append(NEATAgent(1, data['dqn_params'],
+            enemies.append(NEATAgent(len(enemies) + 1,
+                                     data['dqn_params'],
                                      data['neat_genome'],
                                      data['neat_config']))
             names.append('Hybrid NEAT')

@@ -24,6 +24,14 @@ from flax import linen as nn
 class DQN(nn.Module):
     num_actions: int = 3
     compute_dtype: Any = jnp.float32
+    # The engine's observations are one-hot channel planes with values in
+    # {0, 1} (engine.encode_frame), so the reference's conditional /255
+    # (train_dqn.py:123) reduces to a plain cast: with max <= 1 the
+    # division branch never fires. Setting this skips the full-batch
+    # x.max() reduction (a whole-obs HBM pass feeding a scalar select)
+    # while producing bit-identical activations FOR SUCH INPUTS. Leave
+    # False for arbitrary (e.g. 0..255) inputs.
+    assume_binary_obs: bool = False
 
     def setup(self):
         kw = dict(dtype=self.compute_dtype)
@@ -43,7 +51,10 @@ class DQN(nn.Module):
     def _trunk(self, x: jnp.ndarray) -> jnp.ndarray:
         if x.ndim == 3:
             x = x[None]
-        x = self._normalize(x).astype(self.compute_dtype)
+        if self.assume_binary_obs:
+            x = x.astype(self.compute_dtype)
+        else:
+            x = self._normalize(x).astype(self.compute_dtype)
         x = nn.relu(self.conv1(x))
         x = nn.relu(self.conv2(x))
         x = nn.relu(self.conv3(x))

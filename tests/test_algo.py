@@ -156,30 +156,54 @@ def test_evaluate_batch_runs():
     assert np.isfinite(r) and 0 < t <= 16
 
 
-def test_neat_dense_head_matches_python_net():
+def test_neat_padded_batch_matches_python_net():
+    """PaddedNetBatch (the all-on-device population evaluator) must
+    reproduce FeedForwardNetwork.activate for EVERY topology: the
+    full_direct seed head AND structurally-mutated genomes (add-node /
+    add-connection / activation flips) — the round-2 python fallback
+    these sweeps replaced."""
+    import random as _r
     from marlsnake_tpu.algo.neat import FeedForwardNetwork, NeatConfig
-    from marlsnake_tpu.algo.neat_hybrid import (HybridNEATTrainer,
+    from marlsnake_tpu.algo.neat_hybrid import (PaddedNetBatch,
                                                 fc3_to_genome)
     rng = np.random.default_rng(0)
     cfg = NeatConfig(num_inputs=16, num_outputs=3)
     params = {'params': {'fc3': {
         'kernel': rng.normal(size=(16, 3)).astype(np.float32),
         'bias': rng.normal(size=(3,)).astype(np.float32)}}}
-    genome = fc3_to_genome(params, cfg)
-    dense = HybridNEATTrainer._dense_head(genome, cfg)
-    assert dense is not None
-    w, b = dense
-    net = FeedForwardNetwork.create(genome, cfg)
-    for _ in range(20):
-        x = rng.normal(size=(16,)).astype(np.float32)
-        a_dense = int(np.argmax(np.maximum(x @ w + b, 0.0)))
-        a_py = int(np.argmax(net.activate(x)))
-        assert a_dense == a_py
-    # structurally mutated genome -> no dense head
-    import random as _r
-    genome2 = genome.copy(1)
-    genome2._mutate_add_node(cfg, _r.Random(0), [cfg.num_outputs])
-    assert HybridNEATTrainer._dense_head(genome2, cfg) is None
+    seed_genome = fc3_to_genome(params, cfg)
+
+    # population: the pristine seed + heavily-mutated descendants
+    genomes = [seed_genome]
+    next_key = [cfg.num_outputs + 1000]
+    pyr = _r.Random(3)
+    for gi in range(1, 8):
+        g = seed_genome.copy(gi)
+        for _ in range(1 + gi):  # escalating structural mutation
+            g._mutate_add_node(cfg, pyr, next_key)
+            g._mutate_add_conn(cfg, pyr)
+        for nk in list(g.nodes):
+            if pyr.random() < 0.4:
+                g.nodes[nk].activation = pyr.choice(
+                    ('relu', 'sigmoid', 'tanh'))
+        genomes.append(g)
+    assert any(len(g.nodes) > cfg.num_outputs for g in genomes), \
+        'mutations produced no hidden nodes — test is vacuous'
+
+    batch = PaddedNetBatch(genomes, cfg)
+    nets = [FeedForwardNetwork.create(g, cfg) for g in genomes]
+    n_agents = 4
+    emb = rng.normal(size=(len(genomes), n_agents, 16)).astype(np.float32)
+    got = batch.logits(emb)
+    acts = np.asarray(batch.acts(emb))
+    for p, net in enumerate(nets):
+        for a in range(n_agents):
+            want = np.asarray(net.activate(emb[p, a]), np.float64)
+            np.testing.assert_allclose(got[p, a], want, rtol=1e-4,
+                                       atol=1e-4,
+                                       err_msg=f'genome {p} agent {a}')
+            assert acts[p, a] == int(np.argmax(want)), \
+                f'action mismatch genome {p} agent {a}'
 
 
 def test_replay_sample_without_replacement_distinct():

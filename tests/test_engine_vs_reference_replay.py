@@ -38,8 +38,12 @@ from marlsnake_tpu.core import types as T
 from marlsnake_tpu.core.types import EnvConfig
 
 try:
-    from ref_shim import load_reference_snake_env
+    from ref_shim import load_reference_snake_env, REF_PATH
     RefSnakeEnv = load_reference_snake_env()
+    if REF_PATH not in sys.path:
+        sys.path.insert(0, REF_PATH)
+    from marlenv.envs.coop_snake_env import CoopSnakeEnv
+    from marlenv.envs.graph_snake_env import GraphSnakeEnv
     HAVE_REF = True
 except Exception:  # reference tree not mounted
     HAVE_REF = False
@@ -48,6 +52,9 @@ pytestmark = pytest.mark.skipif(not HAVE_REF,
                                 reason='reference repo not available')
 
 
+# 'variant' routes the case through the matching reference class
+# (Snake-v1 / SnakeCoop-v1 / SnakeGraph-v1) so all three env ids cross
+# the DIRECT jitted-engine replay path.
 CASES = [
     # the BASELINE.json north-star config: 20x20, 4 snakes
     dict(height=20, width=20, num_snakes=4, snake_length=3, num_fruits=3),
@@ -56,6 +63,17 @@ CASES = [
          vision_range=5, frame_stack=2),
     dict(height=12, width=12, num_snakes=4, snake_length=3, num_fruits=2,
          observer='human'),
+    # coop: episode ends when ANY snake dies, done broadcast to all
+    dict(height=12, width=12, num_snakes=3, snake_length=3, num_fruits=2,
+         variant='coop'),
+    # n=5: the double-decrement quirk region (first-alive-only win mask)
+    dict(height=14, width=14, num_snakes=5, snake_length=3, num_fruits=4),
+    # graph: ray-feature obs; core trajectory replayed directly, obs
+    # compared through the jitted ray transform while all snakes are
+    # alive (the reference compacts dead snakes' rows away — documented
+    # divergence, tests/test_variants_vs_reference.py)
+    dict(height=14, width=14, num_snakes=4, snake_length=3, num_fruits=3,
+         variant='graph'),
 ]
 
 
@@ -87,18 +105,31 @@ def pad_cells(cells, size):
     return out
 
 
+def _ref_raw_rows(ref):
+    """Per-snake stacked raw obs from the reference frame deque (does not
+    mutate it — ref._get_obs() would append a frame)."""
+    raw = [np.concatenate(o, axis=-1) for o in zip(*list(ref.obs))]
+    return np.stack(raw).astype(np.uint8)
+
+
 @pytest.mark.parametrize('case', range(len(CASES)))
 @pytest.mark.parametrize('seed', [0, 1, 7, 42])
 def test_engine_replays_reference_stream(case, seed, steps=150):
-    params = CASES[case]
-    cfg = EnvConfig(**params)
+    params = dict(CASES[case])
+    variant = params.pop('variant', None)
+    cfg_kwargs = dict(params)
+    if variant == 'coop':
+        cfg_kwargs['done_mode'] = 'any'
+    cfg = EnvConfig(**cfg_kwargs)
     n, w = cfg.num_snakes, cfg.width
     nf = cfg.resolved_num_fruits
 
     np.random.seed(seed)
     kwargs = dict(params)
     ref_nf = kwargs.pop('num_fruits')
-    ref = RefSnakeEnv(num_fruits=ref_nf, **kwargs)
+    ref_cls = {'coop': CoopSnakeEnv, 'graph': GraphSnakeEnv}.get(
+        variant, RefSnakeEnv)
+    ref = ref_cls(num_fruits=ref_nf, **kwargs)
 
     # jitted replay entry points: randomness comes ONLY from the traced
     # spawn_cells / fruit_cells arguments (the key is a dead input).
@@ -106,6 +137,23 @@ def test_engine_replays_reference_stream(case, seed, steps=150):
     reset_fn = jax.jit(lambda sc, fc: engine.reset(
         cfg, None, dead_key, spawn_cells=sc, fruit_cells=fc))
     step_fn = jax.jit(functools.partial(engine.step, cfg))
+    if variant == 'graph':
+        from marlsnake_tpu.ops.rays import ray_features
+        rays_fn = jax.jit(functools.partial(ray_features, cfg))
+
+        def check_graph_obs(state, raw_obs, t):
+            """Our jitted ray transform on the engine's raw obs must match
+            the reference's float rays while every snake is alive (the
+            reference compacts dead rows — a documented divergence)."""
+            alive = np.asarray(state.alive)
+            if not alive.all():
+                return
+            ours = np.asarray(rays_fn(raw_obs, state.head,
+                                      state.direction, state.alive))
+            ref_proc = np.asarray(
+                ref._process_obs(list(_ref_raw_rows(ref))), np.float64)
+            np.testing.assert_allclose(ours, ref_proc, atol=1e-5,
+                                       err_msg=f'graph rays t={t}')
 
     def ref_reset_and_replay():
         obs_r = ref.reset()
@@ -114,8 +162,12 @@ def test_engine_replays_reference_stream(case, seed, steps=150):
         state, obs_e = reset_fn(jnp.asarray(sc), jnp.asarray(fc))
         np.testing.assert_array_equal(canon_engine_grid(state.grid),
                                       ref.grid, err_msg='reset grid')
-        np.testing.assert_array_equal(np.asarray(obs_e), np.asarray(obs_r),
-                                      err_msg='reset obs')
+        if variant == 'graph':
+            check_graph_obs(state, obs_e, 'reset')
+        else:
+            np.testing.assert_array_equal(np.asarray(obs_e),
+                                          np.asarray(obs_r),
+                                          err_msg='reset obs')
         return state
 
     state = ref_reset_and_replay()
@@ -133,9 +185,12 @@ def test_engine_replays_reference_stream(case, seed, steps=150):
         np.testing.assert_array_equal(
             canon_engine_grid(state.grid), ref.grid,
             err_msg=f'grid mismatch t={t}')
-        np.testing.assert_array_equal(
-            np.asarray(out.obs), np.asarray(obs_r),
-            err_msg=f'obs mismatch t={t}')
+        if variant == 'graph':
+            check_graph_obs(state, out.obs, t)
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(out.obs), np.asarray(obs_r),
+                err_msg=f'obs mismatch t={t}')
         np.testing.assert_allclose(
             np.asarray(out.reward), np.asarray(rews_r, dtype=np.float32),
             rtol=0, atol=1e-6, err_msg=f'reward mismatch t={t}')
