@@ -66,34 +66,53 @@ def measure(cfg: EnvConfig, num_envs: int, num_steps: int = 256,
 
 
 def measure_acting(cfg: EnvConfig, num_envs: int, num_steps: int = 64,
-                   iters: int = 3) -> float:
+                   iters: int = 3, optimized: bool = False) -> float:
     """Policy-in-the-loop rollout: greedy DQN actions for every agent
     (one batched (E*N) forward per step), env step, auto-reset — the
     actor loop of training/eval as ONE jitted scan. The policy consumes
     the observations, so no separate checksum is needed. The reference's
     analog is a per-agent batch-1 torch forward on host obs
-    (train_dqn.py:163-173), unmeasurably slower."""
+    (train_dqn.py:163-173), unmeasurably slower.
+
+    ``optimized=True`` applies the round-3 acting-path winners
+    (tools/exp_acting.py matrix, trace-attributed in NEXT_STEPS.md):
+    bf16 convs/matmuls, skip the conditional-/255 whole-obs max reduce
+    (binary obs — bit-identical), and zero-pad obs channels 8->16 before
+    conv1 (exact math; fills the MXU contraction). ~2x the f32 row on
+    v5e; the f32 row keeps the reference's exact inference numerics."""
     import functools
     import jax.numpy as jnp
     from marlsnake_tpu.envs.vector import build_vector_fns
     from marlsnake_tpu.models.dqn import DQN
 
     reset_fn, step_fn = build_vector_fns(cfg, autoreset=True)
-    net = DQN(num_actions=cfg.num_actions)
+    if optimized:
+        net = DQN(num_actions=cfg.num_actions,
+                  compute_dtype=jnp.bfloat16, assume_binary_obs=True)
+        pad = 8
+    else:
+        net = DQN(num_actions=cfg.num_actions)
+        pad = 0
     e, n = num_envs, cfg.num_snakes
+
+    def prep(obs):
+        flat = obs.reshape((e * n,) + obs.shape[2:])
+        if pad:
+            flat = jnp.pad(flat, [(0, 0)] * (flat.ndim - 1) + [(0, pad)])
+        return flat
 
     @jax.jit
     def init(key):
         keys = jax.random.split(key, e)
         states, obs = reset_fn(keys)
-        params = net.init(jax.random.key(7), obs.reshape((e * n,) + obs.shape[2:])[:1])
+        params = net.init(jax.random.key(7), prep(obs)[:1])
         return states, obs, params
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def rollout(states, obs, params):
         def body(carry, _):
             states, obs = carry
-            q = net.apply(params, obs.reshape((e * n,) + obs.shape[2:]))
+            q = net.apply(params, prep(obs))
             actions = q.argmax(-1).astype(jnp.int32).reshape(e, n)
             states, out = step_fn(states, actions)
             return (states, out.obs), out.reward.sum()
@@ -127,13 +146,16 @@ def main():
         print(json.dumps(row))
     # policy-in-the-loop: greedy DQN forward for all 4096*4 agents
     # fused into the same jitted rollout (the actor loop of eval/training)
-    sps = measure_acting(
-        EnvConfig(height=20, width=20, num_snakes=4, snake_length=3), 4096)
-    row = {'config': '20x20x4_dqn_policy_in_loop', 'num_envs': 4096,
-           'steps_per_sec': round(sps, 1),
-           'reference_steps_per_sec': None, 'vs_reference': None}
-    rows.append(row)
-    print(json.dumps(row))
+    acting_cfg = EnvConfig(height=20, width=20, num_snakes=4,
+                           snake_length=3)
+    for tag, opt in (('20x20x4_dqn_policy_in_loop', False),
+                     ('20x20x4_dqn_policy_in_loop_opt', True)):
+        sps = measure_acting(acting_cfg, 4096, optimized=opt)
+        row = {'config': tag, 'num_envs': 4096,
+               'steps_per_sec': round(sps, 1),
+               'reference_steps_per_sec': None, 'vs_reference': None}
+        rows.append(row)
+        print(json.dumps(row))
     os.makedirs('artifacts', exist_ok=True)
     with open('artifacts/BENCH_TABLE.json', 'w') as f:
         json.dump({'unit': 'env-steps/s/chip', 'rows': rows}, f, indent=1)

@@ -81,9 +81,50 @@ def run_ppo(updates=150):
     return first, last
 
 
+def run_ppo20(updates=400):
+    """PPO flagship at the reference's canonical 20x20 4-snake config
+    (the shipped reference TB curves plateau at ~0.006 reward/step/agent;
+    reference PPO source itself is lost — SURVEY.md C35)."""
+    from marlsnake_tpu.algo.ppo_trainer import PPOConfig, PPOTrainer
+    cfg = PPOConfig(height=20, width=20, num_snakes=4, snake_length=5,
+                    num_envs=256, rollout_steps=128, num_updates=updates,
+                    ent_coef=0.01, save_dir=os.path.join(
+                        OUT_DIR, 'ppo20_ckpt'))
+    tr = PPOTrainer(cfg)
+    ts = tr.init_state()
+    rows = []
+    t0 = time.time()
+    for u in range(1, updates + 1):
+        ts, m = tr._update(ts)
+        if u % 5 == 0:
+            row = dict(update=u,
+                       mean_episode_return=float(m.mean_episode_return),
+                       reward_per_step=float(
+                           m.mean_reward_per_step_per_agent),
+                       entropy=float(m.entropy),
+                       approx_kl=float(m.approx_kl),
+                       episodes=int(m.episodes_collected),
+                       elapsed=round(time.time() - t0, 1))
+            rows.append(row)
+            print('ppo20', row, flush=True)
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with open(os.path.join(OUT_DIR,
+                           'ppo20_learning_curve.jsonl'), 'w') as f:
+        for r in rows:
+            f.write(json.dumps(r) + '\n')
+    tr.save_checkpoint(ts, 'showcase')
+    first = sum(r['reward_per_step'] for r in rows[:5]) / 5
+    last = sum(r['reward_per_step'] for r in rows[-5:]) / 5
+    print(f'PPO20: reward/step/agent {first:.4f} -> {last:.4f} over '
+          f'{updates} updates (reference plateau ~0.006)', flush=True)
+    return first, last
+
+
 if __name__ == '__main__':
     which = sys.argv[1] if len(sys.argv) > 1 else 'both'
     if which in ('dqn', 'both'):
         run_dqn()
     if which in ('ppo', 'both'):
         run_ppo()
+    if which == 'ppo20':
+        run_ppo20(int(sys.argv[2]) if len(sys.argv) > 2 else 400)

@@ -78,6 +78,18 @@ class DQNConfig:
     num_envs: int = 1
     seed: int = 0
     compute_dtype: Any = jnp.float32
+    # The engine's obs are one-hot {0,1} planes, so the reference's
+    # conditional /255 (train_dqn.py:123) never divides: skipping its
+    # whole-obs max reduce is BIT-IDENTICAL for engine observations and
+    # was ~7ms/step of the 16k-agent acting forward (NEXT_STEPS.md
+    # round-3 matrix). Set False only for non-engine (0..255) inputs.
+    assume_binary_obs: bool = True
+    # Zero-pad obs channels before conv1 (exact math — the extra kernel
+    # columns see zeros). 8->16 fills the MXU contraction: +18%
+    # acting throughput measured at 4096 envs. OPT-IN because it widens
+    # conv1's kernel to (3, 3, 8+pad, 32), changing checkpoint topology
+    # vs the reference's exact shape.
+    obs_pad_channels: int = 0
     # Opt-in learner pacing (defaults = the reference's 1-update-per-
     # env-step contract, train_dqn.py:228-257).
     #
@@ -98,6 +110,17 @@ class DQNConfig:
     # configuration). update_every must divide max_steps_per_episode.
     update_every: int = 1
     update_batch_size: Optional[int] = None
+    # Opt-in fused acting+update (TPU translation of "overlap acting and
+    # updating": the chip executes kernels sequentially, so overlap means
+    # ONE batched program, not concurrent streams). The TD minibatch is
+    # sampled BEFORE the step's push (one step staler than the
+    # reference's sample-after-push; same per-episode update count, and
+    # warmup crosses min_buffer_size one step later) — that breaks the
+    # act->env->push->sample->update serial chain, so the acting forward
+    # (E*N rows) and the TD loss forward (batch rows) run as a single
+    # (E*N + batch)-row conv stack inside one value_and_grad (acting
+    # q-values are a stop_gradient aux output). Requires update_every=1.
+    fused_act_update: bool = False
 
     def env_config(self) -> EnvConfig:
         return EnvConfig.from_reward_dict(
@@ -140,9 +163,14 @@ class DQNTrainer:
             raise ValueError(
                 f'update_every={config.update_every} must divide '
                 f'max_steps_per_episode={config.max_steps_per_episode}')
+        if config.fused_act_update and config.update_every != 1:
+            raise ValueError(
+                'fused_act_update requires update_every=1 (it fuses the '
+                'per-step update into the acting forward)')
         self.env_cfg = config.env_config()
         self.net = DQN(num_actions=self.env_cfg.num_actions,
-                       compute_dtype=config.compute_dtype)
+                       compute_dtype=config.compute_dtype,
+                       assume_binary_obs=config.assume_binary_obs)
         self.tx = optax.chain(
             optax.clip_by_global_norm(10.0),  # train_dqn.py:254
             optax.adam(config.lr))
@@ -159,7 +187,9 @@ class DQNTrainer:
             key = jax.random.key(cfg.seed)
         k_param, key = jax.random.split(key)
         obs_shape = self.env_cfg.obs_shape[1:]  # per-agent (H, W, C)
-        dummy = jnp.zeros((1,) + obs_shape, jnp.uint8)
+        dummy = jnp.zeros(
+            (1,) + obs_shape[:-1]
+            + (obs_shape[-1] + cfg.obs_pad_channels,), jnp.uint8)
         params = self.net.init(k_param, dummy)
         return TrainState(
             params=params,
@@ -173,11 +203,20 @@ class DQNTrainer:
         )
 
     # ------------------------------------------------------------------
+    def _prep(self, flat_obs):
+        """Zero-pad obs channels before the net (cfg.obs_pad_channels;
+        exact math — the widened conv1 kernel sees zeros)."""
+        pad = self.config.obs_pad_channels
+        if not pad:
+            return flat_obs
+        return jnp.pad(flat_obs,
+                       [(0, 0)] * (flat_obs.ndim - 1) + [(0, pad)])
+
     def _select_actions(self, params, obs, dones, eps, key):
         """Batched epsilon-greedy for (E, N) agents in one forward pass."""
         e, n = obs.shape[:2]
         flat = obs.reshape((e * n,) + obs.shape[2:])
-        q = self.net.apply(params, flat)  # (E*N, A)
+        q = self.net.apply(params, self._prep(flat))  # (E*N, A)
         greedy = jnp.argmax(q, axis=-1).astype(jnp.int32).reshape(e, n)
         k1, k2 = jax.random.split(key)
         rand = jax.random.randint(k1, (e, n), 0, self.env_cfg.num_actions)
@@ -191,9 +230,10 @@ class DQNTrainer:
         cfg = self.config
 
         def loss_fn(p):
-            q = self.net.apply(p, obs)
+            q = self.net.apply(p, self._prep(obs))
             q_sa = jnp.take_along_axis(q, action[:, None], axis=-1)[:, 0]
-            next_q = self.net.apply(target_params, next_obs).max(axis=-1)
+            next_q = self.net.apply(target_params,
+                                    self._prep(next_obs)).max(axis=-1)
             target = rew + (1.0 - done.astype(jnp.float32)) * cfg.gamma \
                 * jax.lax.stop_gradient(next_q)
             return optax.huber_loss(q_sa, target, delta=1.0).mean()
@@ -223,17 +263,12 @@ class DQNTrainer:
             jax.random.fold_in(k_reset, ts.episode), e)
         env_states, obs = self._reset_env(reset_keys)
 
-        def env_step(carry):
-            """One env step: act, step, shape, push — no learner work.
-            Returns (carry, k_sample) with the same per-step key-split
-            pattern whatever the update mode, so the K=1 default path's
-            RNG stream is byte-identical to the reference semantics."""
+        def advance(carry, actions):
+            """Env step, reward shaping, replay push, env freeze — the
+            post-acting part of one step, shared by the default and
+            fused bodies."""
             (env_states, obs, dones, buffer, params, opt_state, key,
              ep_rew, loss_sum, loss_cnt, step, frozen) = carry
-            key, k_act, k_sample = jax.random.split(key, 3)
-
-            actions = self._select_actions(params, obs, dones,
-                                           ts.epsilon, k_act)
             new_env_states, out = self._step_env(env_states, actions)
 
             # early-death shaping (train_dqn.py:294-297)
@@ -259,7 +294,92 @@ class DQNTrainer:
             step = step + jnp.where(frozen.all(), 0, 1)
             return (env_states, obs, dones, buffer, params, opt_state,
                     key, ep_rew, loss_sum, loss_cnt, step,
-                    new_frozen), k_sample
+                    new_frozen)
+
+        def env_step(carry):
+            """One env step: act, step, shape, push — no learner work.
+            Returns (carry, k_sample) with the same per-step key-split
+            pattern whatever the update mode, so the K=1 default path's
+            RNG stream is byte-identical to the reference semantics."""
+            (env_states, obs, dones, buffer, params, opt_state, key,
+             ep_rew, loss_sum, loss_cnt, step, frozen) = carry
+            key, k_act, k_sample = jax.random.split(key, 3)
+            actions = self._select_actions(params, obs, dones,
+                                           ts.epsilon, k_act)
+            carry = (env_states, obs, dones, buffer, params, opt_state,
+                     key, ep_rew, loss_sum, loss_cnt, step, frozen)
+            return advance(carry, actions), k_sample
+
+        def fused_step(carry):
+            """Fused acting+update (cfg.fused_act_update): the TD
+            minibatch is sampled from the PRE-push buffer, so the acting
+            forward and the TD loss forward share one (E*N + batch)-row
+            conv stack inside a single value_and_grad (acting q-values
+            are a stop_gradient aux). Same key-split pattern as
+            env_step; the sample key is consumed one step earlier."""
+            (env_states, obs, dones, buffer, params, opt_state, key,
+             ep_rew, loss_sum, loss_cnt, step, frozen) = carry
+            key, k_act, k_sample = jax.random.split(key, 3)
+            can_update = (buffer.size >= cfg.min_buffer_size) \
+                & ~frozen.all()
+            if self.axis_name is not None:
+                can_update = jax.lax.pmin(
+                    can_update.astype(jnp.int32), self.axis_name) > 0
+            flat_obs = self._prep(
+                obs.reshape((e * n,) + obs.shape[2:]))
+            batch = replay.sample(buffer, k_sample, upd_batch)
+
+            def with_update(args):
+                params, opt_state = args
+                b_obs, b_act, b_rew, b_next, b_done = batch
+
+                def loss_fn(p):
+                    q_all = self.net.apply(p, jnp.concatenate(
+                        [flat_obs,
+                         self._prep(b_obs.astype(flat_obs.dtype))], 0))
+                    q_act = jax.lax.stop_gradient(q_all[:e * n])
+                    q_sa = jnp.take_along_axis(
+                        q_all[e * n:], b_act[:, None], axis=-1)[:, 0]
+                    next_q = self.net.apply(
+                        ts.target_params, self._prep(b_next)).max(axis=-1)
+                    target = b_rew + (1.0 - b_done.astype(jnp.float32)) \
+                        * cfg.gamma * jax.lax.stop_gradient(next_q)
+                    loss = optax.huber_loss(q_sa, target,
+                                            delta=1.0).mean()
+                    return loss, q_act
+
+                (loss, q_act), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                if self.axis_name is not None:
+                    grads = jax.lax.pmean(grads, self.axis_name)
+                    loss = jax.lax.pmean(loss, self.axis_name)
+                updates, opt_state = self.tx.update(grads, opt_state,
+                                                    params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss, jnp.float32(1.0), q_act
+
+            def no_update(args):
+                params, opt_state = args
+                q_act = self.net.apply(params, flat_obs)
+                return (params, opt_state, jnp.float32(0.0),
+                        jnp.float32(0.0), q_act)
+
+            params, opt_state, loss, cnt, q_act = jax.lax.cond(
+                can_update, with_update, no_update, (params, opt_state))
+
+            greedy = jnp.argmax(q_act, axis=-1).astype(
+                jnp.int32).reshape(e, n)
+            k1, k2 = jax.random.split(k_act)
+            rand = jax.random.randint(k1, (e, n), 0,
+                                      self.env_cfg.num_actions)
+            explore = jax.random.uniform(k2, (e, n)) < ts.epsilon
+            actions = jnp.where(explore, rand, greedy)
+            actions = jnp.where(dones, 0, actions)
+
+            carry = (env_states, obs, dones, buffer, params, opt_state,
+                     key, ep_rew, loss_sum + loss, loss_cnt + cnt, step,
+                     frozen)
+            return advance(carry, actions)
 
         def update_once(carry, k_sample, batch_size):
             """One cond'd optimizer step over a ``batch_size`` minibatch
@@ -293,7 +413,10 @@ class DQNTrainer:
         k_every = cfg.update_every
         upd_batch = cfg.update_batch_size or cfg.batch_size
 
-        if k_every == 1:
+        if cfg.fused_act_update:
+            def body(carry, _):
+                return fused_step(carry), None
+        elif k_every == 1:
             # reference contract: one optimizer step per env step
             def body(carry, _):
                 carry, k_sample = env_step(carry)

@@ -322,3 +322,36 @@ def test_dqn_update_pacing_modes():
     import pytest
     with pytest.raises(ValueError):
         DQNTrainer(DQNConfig(max_steps_per_episode=10, update_every=3))
+
+
+def test_dqn_fused_act_update_mode():
+    """Opt-in fused acting+update (the TPU 'overlap' translation: one
+    (E*N + batch)-row forward per step, minibatch sampled pre-push).
+    Must fire the same number of per-step updates as the reference
+    contract once the buffer is warm, and actually learn (params
+    change, finite loss)."""
+    from marlsnake_tpu.algo.dqn_trainer import DQNConfig, DQNTrainer
+    base = dict(height=8, width=8, num_snakes=2, snake_length=2,
+                num_envs=4, max_steps_per_episode=16, batch_size=8,
+                min_buffer_size=8, buffer_size=512, save_freq=0)
+    trs = {f: DQNTrainer(DQNConfig(fused_act_update=f, **base))
+           for f in (False, True)}
+    sts = {f: tr.init_state() for f, tr in trs.items()}
+    for _ in range(3):
+        ms = {}
+        for f in (False, True):
+            sts[f], ms[f] = trs[f]._train_episode(sts[f])
+    # warm-buffer episodes fire one update per live env step both ways
+    # (+-1: fused evaluates the live predicate pre-step, so an episode
+    # that freezes at step k fires k updates instead of k-1)
+    assert abs(int(ms[True].updates) - int(ms[False].updates)) <= 1
+    assert np.isfinite(float(ms[True].mean_loss))
+    assert float(ms[True].mean_loss) > 0
+    p0 = jax.tree.leaves(trs[True].init_state().params)[0]
+    p1 = jax.tree.leaves(sts[True].params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    # fused requires the 1-update-per-step contract
+    import pytest
+    with pytest.raises(ValueError):
+        DQNTrainer(DQNConfig(fused_act_update=True, update_every=4,
+                             max_steps_per_episode=16))

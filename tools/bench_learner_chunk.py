@@ -22,12 +22,14 @@ import jax
 from marlsnake_tpu.algo.dqn_trainer import DQNConfig, DQNTrainer
 
 
-def measure(num_envs, update_every=1, update_batch_size=None, episodes=3):
+def measure(num_envs, update_every=1, update_batch_size=None, episodes=3,
+            fused=False):
     cfg = DQNConfig(height=20, width=20, num_snakes=4, snake_length=3,
                     num_envs=num_envs, max_steps_per_episode=256,
                     batch_size=512, min_buffer_size=512 * 3,
                     buffer_size=10_000, update_every=update_every,
-                    update_batch_size=update_batch_size)
+                    update_batch_size=update_batch_size,
+                    fused_act_update=fused)
     tr = DQNTrainer(cfg)
     ts = tr.init_state()
     ts, m = tr._train_episode(ts)   # compile + buffer warm
@@ -42,15 +44,16 @@ def measure(num_envs, update_every=1, update_batch_size=None, episodes=3):
                 episode_ms=round(dt * 1e3, 1),
                 env_steps_per_s=round(num_envs
                                       * cfg.max_steps_per_episode / dt),
-                updates=int(m.updates))
+                updates=int(m.updates), fused=fused)
 
 
 if __name__ == '__main__':
     rows = []
     for e in (32, 256):
         base = None
-        for every, ubs in ((1, None), (4, None), (4, 2048)):
-            r = measure(e, every, ubs)
+        for every, ubs, fused in ((1, None, False), (1, None, True),
+                                  (4, None, False), (4, 2048, False)):
+            r = measure(e, every, ubs, fused=fused)
             if base is None:
                 base = r['episode_ms']
             r['speedup_vs_reference_contract'] = round(

@@ -203,8 +203,66 @@ def v_rowfirst_elem_i8(cfg, grid, head, alive):
     return _channels(win.astype(jnp.int32), n)
 
 
+def _pack_w(grid, w):
+    """Pack 4 u8 cells along W into one LE u32 word (cells fit a byte for
+    num_snakes <= 15: type|owner<<4, types.py). Applies the spawn-blob
+    insight (CLAUDE.md): dense compare+select cost scales with ELEMENT
+    count, so a 4x-narrower word plane cuts both gather passes."""
+    wp = (w + 3) // 4
+    gpad = jnp.pad(grid, ((0, 0), (0, wp * 4 - w))).astype(jnp.int32)
+    return sum(gpad[:, i::4] << (8 * i) for i in range(4)), wp
+
+
+def v_u32pack_rowfirst(cfg, grid, head, alive):
+    """Both one-hot passes run on the 4x-narrower u32 word plane (W-axis
+    packing survives both reductions as the minor dim); single byte
+    shift+mask unpack at the final (N, y, x) window. Out-of-range cx
+    gives word index cx>>2 = -1 (arithmetic shift) or >= wp -> no match
+    -> 0 -> EMPTY, same as the baseline's out-of-grid behavior."""
+    n = cfg.num_snakes
+    h, w = cfg.height, cfg.width
+    v = cfg.vision_range
+    v2 = 2 * v + 1
+    words, wp = _pack_w(grid, w)                            # (H, wp)
+    center = jnp.where(alive[:, None], head, 0)
+    ry = center[:, 0, None] + jnp.arange(v2) - v            # (N, y)
+    cx = center[:, 1, None] + jnp.arange(v2) - v            # (N, x)
+    # tmp[n, y, p] = words[ry[n, y], p]
+    sel_r = ry[:, :, None, None] == jnp.arange(h)[:, None]  # (N, y, H, 1)
+    tmp = jnp.where(sel_r, words[None, None], 0).sum(2)     # (N, y, wp)
+    cw = cx >> 2
+    sel_c = cw[:, None, :, None] == jnp.arange(wp)          # (N, 1, x, wp)
+    winw = jnp.where(sel_c, tmp[:, :, None, :], 0).sum(-1)  # (N, y, x)
+    win = (winw >> ((cx & 3) * 8)[:, None, :]) & 0xFF
+    return _channels(win, n)
+
+
+def v_u32pack_colfirst(cfg, grid, head, alive):
+    """u32-packed words, column(word)-select first then rows (the
+    baseline's pass order); unpack after both reductions."""
+    n = cfg.num_snakes
+    h, w = cfg.height, cfg.width
+    v = cfg.vision_range
+    v2 = 2 * v + 1
+    words, wp = _pack_w(grid, w)                            # (H, wp)
+    center = jnp.where(alive[:, None], head, 0)
+    ry = center[:, 0, None] + jnp.arange(v2) - v
+    cx = center[:, 1, None] + jnp.arange(v2) - v
+    cw = cx >> 2
+    # tmp[n, x, h] = words[h, cw[n, x]]
+    sel_c = cw[:, :, None, None] == jnp.arange(wp)          # (N, x, 1, wp)
+    tmp = jnp.where(sel_c, words[None, None], 0).sum(-1)    # (N, x, H)
+    sel_r = ry[:, None, :, None] == jnp.arange(h)           # (N, 1, y, H)
+    winw = jnp.swapaxes(
+        jnp.where(sel_r, tmp[:, :, None, :], 0).sum(-1), 1, 2)  # (N, y, x)
+    win = (winw >> ((cx & 3) * 8)[:, None, :]) & 0xFF
+    return _channels(win, n)
+
+
 VARIANTS = {
     'baseline': BASELINE,
+    'u32pack_rowfirst': v_u32pack_rowfirst,
+    'u32pack_colfirst': v_u32pack_colfirst,
     'packed': v_packed,
     'colfirst': v_colfirst,
     'flat_onehot': v_flat_onehot,
