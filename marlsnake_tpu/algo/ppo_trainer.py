@@ -359,7 +359,28 @@ class PPOTrainer:
                       f'{steps / (time.time() - t0):,.0f} env-steps/s')
         if writer:
             writer.close()
+        self.save_checkpoint(ts, 'final')
         return ts
+
+    # --- checkpointing (orbax; mirrors DQNTrainer) --------------------
+    def _ckpt_path(self, tag) -> str:
+        import os
+        return os.path.abspath(
+            os.path.join(self.config.save_dir, f'ppo_{tag}'))
+
+    def save_checkpoint(self, ts: PPOTrainState, tag):
+        import os
+        from marlsnake_tpu.utils import checkpoint as ckpt
+        os.makedirs(self.config.save_dir, exist_ok=True)
+        ckpt.save(self._ckpt_path(tag), {
+            'params': ts.params, 'update': ts.update})
+
+    def load_checkpoint(self, tag, ts: PPOTrainState) -> PPOTrainState:
+        from marlsnake_tpu.utils import checkpoint as ckpt
+        restored = ckpt.restore(self._ckpt_path(tag), {
+            'params': ts.params, 'update': ts.update})
+        return ts.replace(params=restored['params'],
+                          update=restored['update'])
 
 
 def main():

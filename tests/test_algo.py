@@ -67,6 +67,22 @@ def test_ppo_trainer_update_runs():
     assert abs(float(m.entropy) - np.log(3)) < 0.1
 
 
+def test_ppo_checkpoint_roundtrip(tmp_path):
+    from marlsnake_tpu.algo.ppo_trainer import PPOConfig, PPOTrainer
+    cfg = PPOConfig(height=8, width=8, num_snakes=2, snake_length=2,
+                    num_envs=4, rollout_steps=8, num_minibatches=2,
+                    update_epochs=2, save_dir=str(tmp_path))
+    tr = PPOTrainer(cfg)
+    ts = tr.init_state()
+    ts, _ = tr._update(ts)
+    tr.save_checkpoint(ts, 'roundtrip')
+    restored = tr.load_checkpoint('roundtrip', tr.init_state())
+    assert int(restored.update) == int(ts.update) == 1
+    for a, b in zip(jax.tree.leaves(ts.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_evaluator_avoids_certain_death():
     """Straight into a wall with a free left turn: the mask must veto
     straight."""
