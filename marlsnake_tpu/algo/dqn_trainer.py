@@ -120,6 +120,15 @@ class DQNConfig:
     # (E*N rows) and the TD loss forward (batch rows) run as a single
     # (E*N + batch)-row conv stack inside one value_and_grad (acting
     # q-values are a stop_gradient aux output). Requires update_every=1.
+    #
+    # MEASURED AND REFUTED on the real chip (tools/bench_learner_chunk,
+    # 20x20x4, 256-step episodes, batch 512): 0.89x at e=32 (396 ->
+    # 444 ms/episode) and 0.70x at e=256 (1055 -> 1510 ms). The grad
+    # BACKWARD runs over the whole concatenated batch — XLA cannot skip
+    # the acting rows' zero cotangents, so fusing adds (E*N)/batch extra
+    # backward FLOPs (25% at e=32, 200% at e=256), which costs more than
+    # the saved standalone forward. Kept as an opt-in experimental mode;
+    # ``update_every`` is the knob that actually pays (2.18x at e=32).
     fused_act_update: bool = False
 
     def env_config(self) -> EnvConfig:

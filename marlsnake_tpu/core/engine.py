@@ -237,17 +237,29 @@ def encode_frame_cropped(cfg: T.EnvConfig, grid: jnp.ndarray,
     dead-snake (0, 0) anchor quirk.
 
     The gather is two fused elementwise one-hot select+reduce passes
-    (columns first, then rows) — deliberately NOT einsum/matmul.
+    over a u32-PACKED word plane — deliberately NOT einsum/matmul.
     Measured on TPU at 4096 envs (tools/exp_vision.py, full rollout):
-    this form 4.1M env-steps/s vs 2.7M for one-hot einsums (the batched
-    (11,20)@(20,20) matmuls are tiny for the MXU and force layout-copy
-    seams between the matmul outputs and the elementwise channel
-    encode, ~14ms/step of pure transposes), 2.9M for bf16 einsums, and
-    2.3M for windowing a bit-packed pre-encoded frame. XLA fuses the
-    where+reduce chain into the channel encode with no intermediate
-    materialization. Column-first beats row-first (3.9M) — the trailing
-    swapaxes fuses into the encode for free while the row-select over
-    the minor grid axis vectorizes better.
+    elementwise selects 4.1M env-steps/s vs 2.7M for one-hot einsums
+    (the batched (11,20)@(20,20) matmuls are tiny for the MXU and force
+    layout-copy seams between the matmul outputs and the elementwise
+    channel encode, ~14ms/step of pure transposes), 2.9M for bf16
+    einsums, and 2.3M for windowing a bit-packed pre-encoded frame. XLA
+    fuses the where+reduce chain into the channel encode with no
+    intermediate materialization.
+
+    Round 3 applies the spawn-blob u32 insight (CLAUDE.md): dense
+    compare+select cost scales with ELEMENT count, so 4 cells pack into
+    one LE u32 word along W (cells fit a byte for num_snakes <= 15:
+    type | owner<<4) and BOTH passes run on the 4x-narrower word plane
+    — rows first, then column words, then a single per-column byte
+    shift+mask unpack at the final (N, y, x) window. Out-of-range cx
+    yields word index cx>>2 = -1 (arithmetic shift) or >= ceil(W/4) ->
+    no match -> 0 -> EMPTY, identical to the unpacked form. Measured
+    7.48M -> 8.59M env-steps/s (vision5 rollout; row-first beats
+    column-first at 8.15M — with packing the W axis survives both
+    passes as the minor dim so both shrink 4x). Falls back to the
+    unpacked column-first gather when num_snakes > 15 (cell no longer
+    fits a byte).
     """
     n = cfg.num_snakes
     h, w = cfg.height, cfg.width
@@ -257,12 +269,24 @@ def encode_frame_cropped(cfg: T.EnvConfig, grid: jnp.ndarray,
     ry = center[:, 0, None] + jnp.arange(v2) - v   # (N, v2) source rows
     cx = center[:, 1, None] + jnp.arange(v2) - v   # (N, v2) source cols
     # win[n, y, x] = grid[ry[n, y], cx[n, x]] (0 when out of bounds).
-    # tmp[n, x, h] = grid[h, cx[n, x]]
-    sel_c = cx[:, :, None, None] == jnp.arange(w)           # (N, x, 1, W)
-    tmp = jnp.where(sel_c, grid[None, None], 0).sum(-1)     # (N, x, H)
-    sel_r = ry[:, None, :, None] == jnp.arange(h)           # (N, 1, y, H)
-    win = jnp.swapaxes(
-        jnp.where(sel_r, tmp[:, :, None, :], 0).sum(-1), 1, 2)  # (N, y, x)
+    if n <= 15:
+        wp = (w + 3) // 4
+        gpad = jnp.pad(grid, ((0, 0), (0, wp * 4 - w))).astype(jnp.int32)
+        words = sum(gpad[:, i::4] << (8 * i) for i in range(4))  # (H, wp)
+        # tmp[n, y, p] = words[ry[n, y], p]
+        sel_r = ry[:, :, None, None] == jnp.arange(h)[:, None]
+        tmp = jnp.where(sel_r, words[None, None], 0).sum(2)   # (N, y, wp)
+        cw = cx >> 2
+        sel_c = cw[:, None, :, None] == jnp.arange(wp)        # (N,1,x,wp)
+        winw = jnp.where(sel_c, tmp[:, :, None, :], 0).sum(-1)  # (N,y,x)
+        win = (winw >> ((cx & 3) * 8)[:, None, :]) & 0xFF
+    else:
+        # tmp[n, x, h] = grid[h, cx[n, x]]
+        sel_c = cx[:, :, None, None] == jnp.arange(w)         # (N,x,1,W)
+        tmp = jnp.where(sel_c, grid[None, None], 0).sum(-1)   # (N, x, H)
+        sel_r = ry[:, None, :, None] == jnp.arange(h)         # (N,1,y,H)
+        win = jnp.swapaxes(
+            jnp.where(sel_r, tmp[:, :, None, :], 0).sum(-1), 1, 2)
 
     t = T.cell_type(win)
     owner = T.cell_owner(win)

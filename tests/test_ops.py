@@ -150,3 +150,37 @@ def test_direction_arithmetic_matches_tables():
         np.testing.assert_array_equal(np.asarray(got).reshape(4, 5), table)
     np.testing.assert_array_equal(np.asarray(engine.dir_delta(dirs)),
                                   T.DIR_DELTA)
+
+
+@pytest.mark.parametrize('n,h,w', [(4, 20, 20), (15, 30, 30), (16, 20, 20),
+                                   (3, 10, 14)])
+def test_encode_frame_cropped_matches_padded_crop(n, h, w):
+    """The windowed encode (u32-packed word gather for n<=15, unpacked
+    fallback above) must equal a zero-padded numpy crop of the
+    full-frame encode at each snake's head, with the dead-snake (0, 0)
+    anchor quirk (reference snake_env.py:497-517)."""
+    from marlsnake_tpu.core import engine
+
+    v = 4
+    cfg = EnvConfig(height=h, width=w, num_snakes=n, snake_length=3,
+                    vision_range=v)
+    rng = np.random.default_rng(n * 100 + w)
+    # synthetic packed cells: any type 0..5, any owner 0..n-1
+    grid = jnp.asarray(T.pack_cell(rng.integers(0, 6, (h, w)),
+                                   rng.integers(0, n, (h, w))), jnp.int32)
+    head = jnp.asarray(rng.integers(0, min(h, w), (n, 2)), jnp.int32)
+    alive = jnp.asarray(rng.integers(0, 2, (n,)).astype(bool))
+
+    got = np.asarray(engine.encode_frame_cropped(cfg, grid, head, alive))
+
+    full = np.asarray(engine.encode_frame(cfg, grid))  # (N, H, W, 8)
+    v2 = 2 * v + 1
+    want = np.zeros((n, v2, v2, full.shape[-1]), np.uint8)
+    for s in range(n):
+        cy, cx = (tuple(np.asarray(head[s])) if bool(alive[s]) else (0, 0))
+        for dy in range(-v, v + 1):
+            for dx in range(-v, v + 1):
+                y, x = cy + dy, cx + dx
+                if 0 <= y < h and 0 <= x < w:
+                    want[s, dy + v, dx + v] = full[s, y, x]
+    np.testing.assert_array_equal(got, want)
