@@ -185,7 +185,8 @@ class HybridNEATTrainer:
         self.seed = seed
         self._tick = 0  # per-instance generation counter (rollout keys)
         self.dqn_params = dqn_params
-        self.net = DQN(num_actions=self.env_cfg.num_actions)
+        self.net = DQN(num_actions=self.env_cfg.num_actions,
+                       assume_binary_obs=True)
         self.best_fitness = -1e9
 
         pop = self.neat_cfg.pop_size
@@ -294,7 +295,7 @@ def render_winner(winner_pickle: str, env_cfg: Optional[EnvConfig] = None,
     if render:
         env = RenderGUI(env, save_video=True, video_path=video_path,
                         fps=10)
-    net = DQN(num_actions=env_cfg.num_actions)
+    net = DQN(num_actions=env_cfg.num_actions, assume_binary_obs=True)
     embed = jax.jit(lambda p, x: net.apply(p, x, method=net.features))
 
     ep_rewards, ep_timelifes = [], []

@@ -110,7 +110,8 @@ class PPOAgent(AgentBase):
         self.name = f'PPO_Agent_{agent_id}'
         if net is None:
             from marlsnake_tpu.models.ppo import ActorCritic
-            net = ActorCritic(num_actions=3)
+            # engine obs are one-hot: normalize skip is bit-identical
+            net = ActorCritic(num_actions=3, assume_binary_obs=True)
         self.net = net
         self.params = params
         self._fwd = jax.jit(lambda p, x: net.apply(p, x)[0])
@@ -128,7 +129,7 @@ class DQNAgent(AgentBase):
         self.name = f'DQN_Agent_{agent_id}'
         if net is None:
             from marlsnake_tpu.models.dqn import DQN
-            net = DQN(num_actions=3)
+            net = DQN(num_actions=3, assume_binary_obs=True)
         self.net = net
         self.params = params
         self._fwd = jax.jit(lambda p, x: net.apply(p, x))
@@ -148,7 +149,7 @@ class NEATAgent(AgentBase):
         self.name = f'Hybrid_NEAT_{agent_id}'
         if net is None:
             from marlsnake_tpu.models.dqn import DQN
-            net = DQN(num_actions=3)
+            net = DQN(num_actions=3, assume_binary_obs=True)
         from marlsnake_tpu.algo.neat import FeedForwardNetwork
         self.net = net
         self.dqn_params = dqn_params

@@ -63,6 +63,9 @@ class PPOConfig:
     save_dir: str = 'checkpoints_ppo'
     seed: int = 0
     compute_dtype: Any = jnp.float32
+    # bit-identical for engine obs (one-hot {0,1}): skips the
+    # conditional-/255 whole-batch max reduce in every rollout forward
+    assume_binary_obs: bool = True
 
     def env_config(self) -> EnvConfig:
         return EnvConfig.from_reward_dict(
@@ -108,7 +111,8 @@ class PPOTrainer:
         self.config = config
         self.env_cfg = config.env_config()
         self.net = ActorCritic(num_actions=self.env_cfg.num_actions,
-                               compute_dtype=config.compute_dtype)
+                               compute_dtype=config.compute_dtype,
+                               assume_binary_obs=config.assume_binary_obs)
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
             optax.adam(config.lr, eps=1e-5))

@@ -25,6 +25,9 @@ from flax import linen as nn
 class ActorCritic(nn.Module):
     num_actions: int = 3
     compute_dtype: Any = jnp.float32
+    # skip the conditional-/255 whole-batch max reduce; bit-identical
+    # for the engine's one-hot obs (see models/dqn.DQN.assume_binary_obs)
+    assume_binary_obs: bool = False
 
     def setup(self):
         kw = dict(dtype=self.compute_dtype)
@@ -43,7 +46,13 @@ class ActorCritic(nn.Module):
     def features(self, x: jnp.ndarray) -> jnp.ndarray:
         if x.ndim == 3:
             x = x[None]
-        x = self._normalize(x).astype(self.compute_dtype)
+        if self.assume_binary_obs:
+            # engine obs are one-hot {0, 1}: the conditional /255 never
+            # divides, so skipping its whole-batch max reduce is
+            # bit-identical (same flag as models/dqn.DQN)
+            x = x.astype(self.compute_dtype)
+        else:
+            x = self._normalize(x).astype(self.compute_dtype)
         x = nn.relu(self.conv1(x))
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = nn.relu(self.conv2(x))
