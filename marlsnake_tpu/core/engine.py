@@ -49,6 +49,7 @@ engine and oracle trajectories are bit-identical.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -65,6 +66,12 @@ from marlsnake_tpu.ops.scatter import dense_add_1d, dense_set_1d
 # program that imports marlsnake_tpu first. Tracer == numpy broadcasting
 # is fine; the constant is baked at trace time.
 _DIR_DELTA = T.DIR_DELTA
+
+# Largest board (in cells) whose place_fruits prefix sum runs as an MXU
+# matmul with f32 accumulation instead of the reduce-window cumsum
+# (see place_fruits; measured crossover notes there).
+_FRUITS_MXU_MAX_CELLS = int(
+    os.environ.get('SNAKE_FRUITS_MXU_MAX_CELLS', '1024'))
 
 
 @struct.dataclass
@@ -164,6 +171,19 @@ def place_fruits(grid: jnp.ndarray, u: jnp.ndarray,
     if h * w < 256:
         tri = jnp.triu(jnp.ones((h * w, h * w), jnp.bfloat16))
         cum = (mask.astype(jnp.bfloat16) @ tri).astype(jnp.int32)
+    elif h * w <= _FRUITS_MXU_MAX_CELLS:
+        # bf16 one-hot operands with FORCED f32 accumulation: exact for
+        # any count (unlike the bf16-accumulate small-board form above,
+        # which caps at 256) and rides the MXU at the bf16 rate. At 400
+        # cells this beats the reduce-window cumsum (headline 10.37M ->
+        # 10.71M at 4096 envs, round 4); both forms are O(L^2), but the
+        # MXU's rate advantage fades as L grows and the (L, L) triangle
+        # stops fitting fusion-friendly tiles — gated by cell count
+        # (override SNAKE_FRUITS_MXU_MAX_CELLS to re-measure).
+        tri = jnp.triu(jnp.ones((h * w, h * w), jnp.bfloat16))
+        cum = jnp.matmul(mask.astype(jnp.bfloat16), tri,
+                         preferred_element_type=jnp.float32
+                         ).astype(jnp.int32)
     else:
         cum = jnp.cumsum(mask.astype(jnp.int32))
     r = jnp.floor(u * num_empty).astype(jnp.int32)
@@ -372,7 +392,13 @@ def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray,
             # blob replaces cost ~2.5ms/64 steps at 4096 envs. Unpacking
             # is cheap fused VPU shifts.
             rowdata = blob[row].astype(jnp.int32)  # words < 2^31: grid
-            # bytes are packed codes <= 117, cell u16s are < H*W <= 65535
+            # bytes are packed codes <= 117, cell u16s are < H*W <= 65535.
+            # (4-bit palette packing of the grid section — 56 words
+            # instead of 106 — measured a net LOSS, 10.37M -> 9.42M: the
+            # gather only shrank 2.90 -> 2.78ms/64 steps (latency-bound
+            # at this size, not element-bound) while the nibble decode
+            # materialized a 1.27ms concatenate and shifted fusion
+            # boundaries in place_fruits. Round-4 refutation.)
             n_gw = -(-(h * w) // 4)
             gw = rowdata[:n_gw]
             gbytes = jnp.stack(
