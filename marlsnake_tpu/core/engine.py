@@ -58,7 +58,7 @@ from flax import struct
 
 from marlsnake_tpu.core import types as T
 from marlsnake_tpu.core.state import (
-    EnvState, ring_push, ring_pop_tail)
+    EnvState, ring_pack_prefix, ring_push, ring_pop_tail)
 from marlsnake_tpu.ops.scatter import dense_add_1d, dense_set_1d
 
 # numpy on purpose: a module-level jnp.asarray would initialize the XLA
@@ -160,7 +160,6 @@ def place_fruits(grid: jnp.ndarray, u: jnp.ndarray,
     h, w = grid.shape
     flat = grid.reshape(-1)
     mask = flat == T.EMPTY
-    num_empty = mask.sum()
     # Prefix-sum lowering is board-size dependent on TPU: jnp.cumsum
     # lowers to an O(L^2) reduce-window that dominates SMALL boards
     # (2x9.3ms/64 steps at 8192 10x10 envs = 52% of device time) but
@@ -186,6 +185,10 @@ def place_fruits(grid: jnp.ndarray, u: jnp.ndarray,
                          ).astype(jnp.int32)
     else:
         cum = jnp.cumsum(mask.astype(jnp.int32))
+    # the prefix sum's last element IS the empty count (exact in every
+    # branch) — a separate mask.sum() cost its own 1.45ms/64-steps
+    # reduce fusion at 4096 envs in round-4 traces
+    num_empty = cum[-1]
     r = jnp.floor(u * num_empty).astype(jnp.int32)
     r = jnp.clip(r, 0, jnp.maximum(num_empty - 1, 0))
     valid = (jnp.arange(u.shape[0]) < count) & (num_empty > 0)
@@ -444,8 +447,7 @@ def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray,
     # vs ~3ms for this arithmetic), and a coords round-trip would pay
     # (N, k) s32 divmods.
     dirs = flat_delta_to_dir(cell_flat[:, :-1] - cell_flat[:, 1:], w)
-    ring = jnp.zeros((n, cfg.body_capacity), dtype=jnp.int32)
-    ring = ring.at[:, :k - 1].set(dirs)
+    ring = ring_pack_prefix(dirs, cfg.body_capacity)
 
     hf, tf = cell_flat[:, 0], cell_flat[:, -1]
     head = jnp.stack([hf // w, hf % w], -1).astype(jnp.int32)
@@ -656,8 +658,10 @@ def _step_core(cfg: T.EnvConfig, state: EnvState,
 
     # body ring: push new head link, pop tail link when retracting
     ring, ring_head, ring_len = ring_push(
-        state.ring, state.ring_head, state.ring_len, new_dir, alive1)
-    popped, ring_len = ring_pop_tail(ring, ring_head, ring_len, retract)
+        state.ring, state.ring_head, state.ring_len, new_dir, alive1,
+        cfg.body_capacity)
+    popped, ring_len = ring_pop_tail(ring, ring_head, ring_len, retract,
+                                     cfg.body_capacity)
     new_tail = jnp.where(retract[:, None],
                          state.tail + dir_delta(popped), state.tail)
     new_head = jnp.where(alive1[:, None], tgt, state.head)

@@ -43,7 +43,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from marlsnake_tpu.core import types as T
-from marlsnake_tpu.core.state import EnvState
+from marlsnake_tpu.core.state import (
+    EnvState, ring_num_words, ring_pack_prefix)
 from marlsnake_tpu.core.engine import (
     StepOutput, encode_frame as engine_encode_frame, make_empty_grid)
 
@@ -182,17 +183,23 @@ def _step_block(cfg: T.EnvConfig, tables, refs):
     g = write(g, tailf, jnp.zeros((1, n), jnp.int32) + T.EMPTY,
               retract)
 
-    # ring ops
-    ring = ring_ref[:]                         # (E, N, CAP) int32
+    # ring ops — 2-bit-packed words, same slot mapping as state.ring_push
+    ring = ring_ref[:]                         # (E, N, CW) int32
+    cw = ring.shape[-1]
     rhead = rhead_ref[:]
     rlen = rlen_ref[:]
     new_rhead = jnp.where(alive1, (rhead - 1) % cap, rhead)
-    iota_cap = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cap), 2)
-    push_oh = (new_rhead[:, :, None] == iota_cap) & bx(alive1, 2)
-    ring = jnp.where(push_oh, new_dir[:, :, None], ring)
+    iota_cw = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cw), 2)
+    b0 = 2 * (new_rhead & 15)                  # (E, N)
+    blended = ((ring & ~(3 << b0)[:, :, None])
+               | ((new_dir & 3) << b0)[:, :, None])
+    push_oh = ((new_rhead >> 4)[:, :, None] == iota_cw) & bx(alive1, 2)
+    ring = jnp.where(push_oh, blended, ring)
     new_rlen = jnp.where(alive1, rlen + 1, rlen)
     pop_idx = (new_rhead + new_rlen - 1) % cap
-    popped = jnp.where(pop_idx[:, :, None] == iota_cap, ring, 0).sum(2)
+    pop_word = jnp.where((pop_idx >> 4)[:, :, None] == iota_cw,
+                         ring, 0).sum(2)
+    popped = (pop_word >> (2 * (pop_idx & 15))) & 3
     new_rlen = jnp.where(retract, new_rlen - 1, new_rlen)
     new_tailf = jnp.where(retract, tailf + lut(delta_tab, popped), tailf)
     new_headf = jnp.where(alive1, tgt, headf)
@@ -279,9 +286,7 @@ def _step_block(cfg: T.EnvConfig, tables, refs):
     ld_oh = (link[:, :, :, None] == delta_tab.reshape(1, 1, 1, 4))
     link_dir = (ld_oh * jax.lax.broadcasted_iota(
         jnp.int32, ld_oh.shape, 3)).sum(3)
-    pad_link = jnp.pad(link_dir.astype(jnp.int32),
-                       ((0, 0), (0, 0), (0, cap - (k - 1))))
-    r_ring = jnp.where(iota_cap < k - 1, pad_link, 0)
+    r_ring = ring_pack_prefix(link_dir.astype(jnp.int32), cap)
 
     # final select: reset vs stepped
     g = jnp.where(d_hw, rg, g)
@@ -395,7 +400,7 @@ def build_pallas_step(cfg: T.EnvConfig, candidates, pool,
             jax.ShapeDtypeStruct((b, n), i32),         # dir
             jax.ShapeDtypeStruct((b, n), i32),         # headf
             jax.ShapeDtypeStruct((b, n), i32),         # tailf
-            jax.ShapeDtypeStruct((b, n, cap), i32),    # ring
+            jax.ShapeDtypeStruct((b, n, ring_num_words(cap)), i32),  # ring
             jax.ShapeDtypeStruct((b, n), i32),         # rhead
             jax.ShapeDtypeStruct((b, n), i32),         # rlen
             jax.ShapeDtypeStruct((b, n), i32),         # alive
@@ -419,14 +424,15 @@ def build_pallas_step(cfg: T.EnvConfig, candidates, pool,
             return pl.BlockSpec(shape, lambda i, _n=nz: (0,) * _n,
                                 memory_space=pltpu.VMEM)
 
+        cw = ring_num_words(cap)
         in_specs = [
             tspec(1, 20), tspec(1, 4), tspec(1, hw),
-            spec(hw), spec(n), spec(n), spec(n), spec(n, cap), spec(n),
+            spec(hw), spec(n), spec(n), spec(n), spec(n, cw), spec(n),
             spec(n), spec(n), spec(1), spec(n), spec(n), spec(n), spec(n),
             spec(1), spec(n), spec(n), spec(n, k), spec(nf),
         ]
         out_specs = [
-            spec(hw), spec(n), spec(n), spec(n), spec(n, cap), spec(n),
+            spec(hw), spec(n), spec(n), spec(n), spec(n, cw), spec(n),
             spec(n), spec(n), spec(1), spec(n), spec(n), spec(n), spec(n),
             spec(1), spec(n), spec(n),
             spec(n), spec(n), spec(n), spec(n), spec(n), spec(1),

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from marlsnake_tpu.core import types as T
+from marlsnake_tpu.core.state import ring_slots
 from marlsnake_tpu.core.types import EnvConfig
 from marlsnake_tpu.envs.env import make_env
 
@@ -42,10 +43,11 @@ def check_invariants(cfg, state, t):
             assert (tr, tc) == tuple(np.asarray(state.tail)[i]), t
             # walking the ring from head reaches tail through body cells
             pos = np.asarray(state.head)[i].copy()
-            ring = np.asarray(state.ring)[i]
+            cap = cfg.body_capacity
+            ring = np.asarray(
+                ring_slots(np.asarray(state.ring)[i], cap))
             rh = int(np.asarray(state.ring_head)[i])
             rl = int(np.asarray(state.ring_len)[i])
-            cap = ring.shape[0]
             for j in range(rl):
                 d = ring[(rh + j) % cap]
                 pos = pos - T.DIR_DELTA[d]

@@ -259,7 +259,84 @@ def v_u32pack_colfirst(cfg, grid, head, alive):
     return _channels(win, n)
 
 
+def _channels_palette(p, n):
+    """Channel encode directly from PALETTE indices (p = type + 3*owner,
+    exact for env cells since their owner bits are 0; max 14 for n=4)."""
+    c = jnp.arange(T.FEATURE_CHANNEL).reshape(1, 1, 1, -1)
+    pp = p[..., None]
+    env_hit = (c <= 1) & (pp == c + 1)
+    q = pp - T.HEAD
+    part = q % 3
+    owner = q // 3
+    ids = jnp.arange(n).reshape(n, 1, 1, 1)
+    mine = owner == ids
+    snake_hit = ((pp >= T.HEAD) & ((c - 2) % 3 == part)
+                 & ((c >= 5) == mine) & (c >= 2))
+    return (env_hit | snake_hit).astype(jnp.uint8)
+
+
+def v_nib8_rowfirst(cfg, grid, head, alive):
+    """4-bit PALETTE packing, 8 cells per u32 word along W (n <= 4:
+    palette p = type + 3*owner <= 14 fits a nibble) — both one-hot
+    passes run on an 8x-narrower word plane (wp8 = ceil(W/8)); nibble
+    extract + palette channel-decode at the final (N, y, x) window."""
+    n = cfg.num_snakes
+    h, w = cfg.height, cfg.width
+    v = cfg.vision_range
+    v2 = 2 * v + 1
+    t = (grid & T.TYPE_MASK)
+    pal = t + 3 * (grid >> T.OWNER_SHIFT)                   # (H, W) <= 14
+    wp8 = (w + 7) // 8
+    gpad = jnp.pad(pal, ((0, 0), (0, wp8 * 8 - w))).astype(jnp.int32)
+    words = sum(gpad[:, i::8] << (4 * i) for i in range(8))  # (H, wp8)
+    center = jnp.where(alive[:, None], head, 0)
+    ry = center[:, 0, None] + jnp.arange(v2) - v            # (N, y)
+    cx = center[:, 1, None] + jnp.arange(v2) - v            # (N, x)
+    sel_r = ry[:, :, None, None] == jnp.arange(h)[:, None]  # (N, y, H, 1)
+    tmp = jnp.where(sel_r, words[None, None], 0).sum(2)     # (N, y, wp8)
+    cw = cx >> 3
+    sel_c = cw[:, None, :, None] == jnp.arange(wp8)         # (N, 1, x, wp8)
+    winw = jnp.where(sel_c, tmp[:, :, None, :], 0).sum(-1)  # (N, y, x)
+    p = (winw >> ((cx & 7) * 4)[:, None, :]) & 0xF
+    return _channels_palette(p, n)
+
+
+def v_hwords(cfg, grid, head, alive):
+    """Byte-select from H-words: pack 4 CONSECUTIVE rows per u32 along H,
+    select only the <=4 word-rows the 11-row window can span (row
+    consecutiveness), column-select, then per-y word+byte expand."""
+    n = cfg.num_snakes
+    h, w = cfg.height, cfg.width
+    v = cfg.vision_range
+    v2 = 2 * v + 1
+    hp = (h + 3) // 4
+    gpad = jnp.pad(grid, ((0, hp * 4 - h), (0, 0))).astype(jnp.int32)
+    wordsH = sum(gpad[j::4] << (8 * j) for j in range(4))   # (hp, W)
+    center = jnp.where(alive[:, None], head, 0)
+    ry0 = center[:, 0] - v                                  # (N,)
+    cx = center[:, 1, None] + jnp.arange(v2) - v            # (N, x)
+    nq = (v2 + 3) // 4 + 1                                  # word-rows spanned
+    # pass 1: tmpA[n, q, c] = wordsH[rw0+q, c]
+    rw = (ry0 >> 2)[:, None] + jnp.arange(nq)               # (N, q)
+    selq = rw[:, :, None, None] == jnp.arange(hp)[:, None]  # (N, q, hp, 1)
+    tmpA = jnp.where(selq, wordsH[None, None], 0).sum(2)    # (N, q, W)
+    # pass 2: tmpB[n, q, x] = tmpA[n, q, cx[n, x]]
+    selc = cx[:, None, :, None] == jnp.arange(w)            # (N, 1, x, W)
+    tmpB = jnp.where(selc, tmpA[:, :, None, :], 0).sum(-1)  # (N, q, x)
+    # pass 3: win[n, y, x] = byte by of tmpB[n, qy, x]
+    off = (ry0 & 3)[:, None] + jnp.arange(v2)               # (N, y) 0..14
+    qy = off >> 2
+    by = off & 3
+    selq2 = qy[:, :, None, None] == jnp.arange(nq)          # (N, y, 1, q)
+    winw = jnp.where(selq2, jnp.swapaxes(tmpB, 1, 2)[:, None],
+                     0).sum(-1)                             # (N, y, x)
+    win = (winw >> (8 * by)[:, :, None]) & 0xFF
+    return _channels(win, n)
+
+
 VARIANTS = {
+    'nib8_rowfirst': v_nib8_rowfirst,
+    'hwords': v_hwords,
     'baseline': BASELINE,
     'u32pack_rowfirst': v_u32pack_rowfirst,
     'u32pack_colfirst': v_u32pack_colfirst,
@@ -276,9 +353,16 @@ VARIANTS = {
 
 
 def check(fn, cfg):
-    """Bit-check variant vs baseline on a small random batch (CPU-ok)."""
+    """Bit-check variant vs baseline on a small random batch (CPU-ok).
+
+    Cells are drawn VALID (type <= TAIL, owner < num_snakes) — real grids
+    never contain other codes, and palette-packed variants rely on that.
+    """
     key = jax.random.key(0)
-    grid = jax.random.randint(key, (cfg.height, cfg.width), 0, 48)
+    t = jax.random.randint(key, (cfg.height, cfg.width), 0, 6)
+    o = jax.random.randint(jax.random.key(7), (cfg.height, cfg.width),
+                           0, cfg.num_snakes)
+    grid = t + (jnp.where(t >= T.HEAD, o, 0) << T.OWNER_SHIFT)
     head = jax.random.randint(jax.random.key(1), (cfg.num_snakes, 2), 0,
                               cfg.height)
     alive = jnp.array([True, True, False, True])
