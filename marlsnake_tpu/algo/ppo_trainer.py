@@ -61,6 +61,9 @@ class PPOConfig:
     # bookkeeping
     log_dir: str = 'runs/ppo'
     save_dir: str = 'checkpoints_ppo'
+    # write a 'final' checkpoint into save_dir when train() completes;
+    # set False to keep train() free of filesystem side effects
+    save_final: bool = True
     seed: int = 0
     compute_dtype: Any = jnp.float32
     # bit-identical for engine obs (one-hot {0,1}): skips the
@@ -363,7 +366,8 @@ class PPOTrainer:
                       f'{steps / (time.time() - t0):,.0f} env-steps/s')
         if writer:
             writer.close()
-        self.save_checkpoint(ts, 'final')
+        if cfg.save_final:
+            self.save_checkpoint(ts, 'final')
         return ts
 
     # --- checkpointing (orbax; mirrors DQNTrainer) --------------------

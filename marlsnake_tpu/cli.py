@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument('--save-dir', type=str, default='checkpoints')
     b.add_argument('--episodes', type=int, default=10)
     b.add_argument('--no-render', action='store_true')
+    b.add_argument('--batched', action='store_true',
+                   help='run all episodes simultaneously on device '
+                        '(algo/battle_batch.py): wall time of one '
+                        'episode, table with 95%% CIs; implies '
+                        '--no-render')
     b.add_argument('--hybrid-pickle', type=str,
                    default='hybrid_neat_best.pkl')
     b.add_argument('--ppo-checkpoint', type=str,
@@ -146,6 +151,45 @@ def main(argv=None):
                                        f'{args.width}.mp4')
         DQNEvaluator(env, tr.net, ts.params).evaluate(
             num_episodes=args.episodes, render=not args.no_render)
+
+    elif args.mode == 'battle' and args.batched:
+        import os
+        import jax
+        from marlsnake_tpu.algo.battle_batch import (
+            BatchedGreedy, BatchedNEAT, BatchedPPO, BatchedRandom,
+            build_battle_batch, summarize)
+        from marlsnake_tpu.core.types import EnvConfig
+        tr, ts = _load_dqn(args)
+        cfg = EnvConfig(height=args.height, width=args.width,
+                        num_snakes=args.num_snakes,
+                        snake_length=args.snake_length)
+        opponents, names = [], ['DQN (Main)']
+        if args.ppo_checkpoint and os.path.exists(args.ppo_checkpoint):
+            import torch
+            from marlsnake_tpu.models.torch_interop import (
+                ppo_params_from_torch)
+            ckpt = torch.load(args.ppo_checkpoint, map_location='cpu',
+                              weights_only=False)
+            opponents.append(BatchedPPO(ppo_params_from_torch(
+                ckpt.get('model_state_dict', ckpt))))
+            names.append('PPO')
+        if os.path.exists(args.hybrid_pickle):
+            import pickle
+            with open(args.hybrid_pickle, 'rb') as f:
+                data = pickle.load(f)
+            opponents.append(BatchedNEAT(data['dqn_params'],
+                                         data['neat_genome'],
+                                         data['neat_config']))
+            names.append('Hybrid NEAT')
+        while len(opponents) < args.num_snakes - 2:
+            opponents.append(BatchedRandom())
+            names.append('Random Bot')
+        opponents.append(BatchedGreedy())
+        names.append('Greedy Bot')
+        run = build_battle_batch(tr.net, cfg, opponents,
+                                 num_envs=args.episodes, max_steps=512)
+        rew, life = run(ts.params, jax.random.key(args.seed))
+        print(summarize(rew, life, names))
 
     elif args.mode == 'battle':
         import os

@@ -281,8 +281,14 @@ def encode_frame_cropped(cfg: T.EnvConfig, grid: jnp.ndarray,
     7.48M -> 8.59M env-steps/s (vision5 rollout; row-first beats
     column-first at 8.15M — with packing the W axis survives both
     passes as the minor dim so both shrink 4x). Falls back to the
-    unpacked column-first gather when num_snakes > 15 (cell no longer
-    fits a byte).
+    unpacked column-first gather when num_snakes > 16 (max cell
+    TAIL | 15<<4 = 245 still fits a byte at n=16).
+
+    Round-4 refutations (tools/exp_vision.py, measured on TPU): 4-bit
+    palette packing (8 cells/word, n <= 4) 8.06M vs 9.22M baseline —
+    narrower word planes stop paying below ~5 words; H-word byte-select
+    exploiting window-row consecutiveness ('hwords') 8.52-8.77M — the
+    extra expand pass eats the smaller selects.
     """
     n = cfg.num_snakes
     h, w = cfg.height, cfg.width
@@ -292,7 +298,7 @@ def encode_frame_cropped(cfg: T.EnvConfig, grid: jnp.ndarray,
     ry = center[:, 0, None] + jnp.arange(v2) - v   # (N, v2) source rows
     cx = center[:, 1, None] + jnp.arange(v2) - v   # (N, v2) source cols
     # win[n, y, x] = grid[ry[n, y], cx[n, x]] (0 when out of bounds).
-    if n <= 15:
+    if n <= 16:
         wp = (w + 3) // 4
         gpad = jnp.pad(grid, ((0, 0), (0, wp * 4 - w))).astype(jnp.int32)
         words = sum(gpad[:, i::4] << (8 * i) for i in range(4))  # (H, wp)

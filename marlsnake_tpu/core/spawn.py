@@ -245,7 +245,11 @@ def spawn_data(height: int, width: int, k: int, num_snakes: int,
     cells = np.ascontiguousarray(cells.astype(np.int32))
 
     blob = None
-    if height * width <= 0xFFFF and len(cells):
+    # num_snakes gate: painted cells are uint8 (type | owner<<4), which
+    # holds owners 0..15 (max code TAIL | 15<<4 = 245) — beyond 16
+    # snakes the paint would silently wrap, so those configs take the
+    # on-device paint fallback in engine._reset_core instead
+    if height * width <= 0xFFFF and num_snakes <= 16 and len(cells):
         p = len(cells)
         base = base_grid_host(height, width, map_layout)
         painted = np.broadcast_to(

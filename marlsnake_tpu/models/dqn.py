@@ -70,3 +70,38 @@ class DQN(nn.Module):
     def features(self, x: jnp.ndarray) -> jnp.ndarray:
         """128-d penultimate embedding (reference ``forward_features``)."""
         return self._trunk(x).astype(jnp.float32)
+
+
+class DistilledDQN(nn.Module):
+    """Small acting trunk distilled from the reference-topology DQN.
+
+    The flagship acting row is MXU-roofline-bound by the reference
+    trunk's 62 MFLOP/agent (NEXT_STEPS.md round-3 analysis); this
+    2-conv/16-ch student is ~8.6x fewer FLOPs. It exists ONLY as an
+    opt-in acting-throughput trade (tools/distill_acting.py trains it
+    DAgger-style against a frozen teacher and records argmax agreement;
+    bench_table adds its row when the artifact exists) — checkpoint
+    topology and training semantics stay on the reference DQN.
+    """
+    num_actions: int = 3
+    conv_channels: tuple = (16, 32)
+    fc_features: tuple = (64,)
+    compute_dtype: Any = jnp.bfloat16
+    assume_binary_obs: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim == 3:
+            x = x[None]
+        if self.assume_binary_obs:
+            x = x.astype(self.compute_dtype)
+        else:
+            x = DQN._normalize(x).astype(self.compute_dtype)
+        kw = dict(dtype=self.compute_dtype)
+        for ch in self.conv_channels:
+            x = nn.relu(nn.Conv(ch, (3, 3), strides=1, padding=1,
+                                **kw)(x))
+        x = x.reshape(x.shape[0], -1)
+        for f in self.fc_features:
+            x = nn.relu(nn.Dense(f, **kw)(x))
+        return nn.Dense(self.num_actions, **kw)(x).astype(jnp.float32)

@@ -93,13 +93,89 @@ def launch_local_cluster(num_processes: int = 2,
     return results
 
 
+_COLLECTIVE_RE = None
+
+
+def hlo_collective_counts(compiled_text: str) -> dict:
+    """Count collective instructions in compiled HLO text.
+
+    The reviewable dryrun signal for a data-parallel program: the env
+    rollout should insert NO collectives and the learner exactly its
+    pmean all-reduces — anything else means XLA resharded behind our
+    back. (Wall-clock 'scaling efficiency' on a single-process virtual
+    mesh is emulation noise and is deliberately NOT reported there; the
+    real-ICI harness is :func:`scaling_efficiency`, for hardware.)
+    """
+    import re
+    global _COLLECTIVE_RE
+    if _COLLECTIVE_RE is None:
+        ops = ('all-reduce', 'all-gather', 'reduce-scatter',
+               'collective-permute', 'all-to-all', 'collective-broadcast')
+        # opcode position: "%name = shape OPCODE(" (also -start variants)
+        _COLLECTIVE_RE = re.compile(
+            r'=\s*\S+\s+(' + '|'.join(ops) + r')(?:-start)?\(')
+    counts: dict = {}
+    for m in _COLLECTIVE_RE.finditer(compiled_text):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    return counts
+
+
+def per_device_step_time(cfg, envs_per_device: int = 64,
+                         num_steps: int = 32) -> dict:
+    """Per-device env-step wall time at EQUAL per-device env count:
+    unsharded single-device vs sharded over the full mesh.
+
+    Returns {'devices', 'unsharded_ms_per_step', 'sharded_ms_per_step',
+    'emulated'}. On real chips sharded ~= unsharded is the >80% gate;
+    on a single-process virtual CPU mesh ('emulated': True) the sharded
+    number includes host-core emulation overhead, so compare shapes and
+    trends, never read it as ICI efficiency.
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import numpy as np
+    from marlsnake_tpu.envs.vector import build_vector_fns
+
+    devices = jax.devices()
+    n = len(devices)
+    reset_fn, step_fn = build_vector_fns(cfg, autoreset=True)
+
+    def bench(num_envs, sharding=None):
+        keys = jax.random.split(jax.random.key(0), num_envs)
+        states, _ = jax.jit(reset_fn)(keys)
+        if sharding is not None:
+            states = jax.tree.map(
+                lambda x: jax.device_put(x, sharding), states)
+        acts = jnp.zeros((num_envs, cfg.num_snakes), jnp.int32)
+        step = jax.jit(lambda s, a: step_fn(s, a)[0])
+        s = step(states, acts)
+        jax.block_until_ready(s.grid)
+        t0 = time.perf_counter()
+        s = states
+        for _ in range(num_steps):
+            s = step(s, acts)
+        jax.block_until_ready(s.grid)
+        return (time.perf_counter() - t0) / num_steps * 1e3
+
+    single_ms = bench(envs_per_device)
+    mesh = Mesh(np.array(devices), ('data',))
+    full_ms = bench(envs_per_device * n, NamedSharding(mesh, P('data')))
+    return {'devices': n,
+            'unsharded_ms_per_step': single_ms,
+            'sharded_ms_per_step': full_ms,
+            'emulated': devices[0].platform == 'cpu'}
+
+
 def scaling_efficiency(cfg, envs_per_device: int = 512,
                        num_steps: int = 64) -> dict:
     """Measure env-step throughput at 1 device vs the full mesh.
 
     Returns {'single': steps/s, 'full': steps/s, 'devices': n,
     'efficiency': full / (n * single)} — the >80% scaling gate from
-    BASELINE.json.
+    BASELINE.json. Meaningful ONLY on real multi-chip hardware: on a
+    single-process virtual CPU mesh every "device" shares the host
+    cores, so the quotient reads as a catastrophic failure regardless
+    of program quality — dryruns report :func:`hlo_collective_counts`
+    and :func:`per_device_step_time` instead.
     """
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     import numpy as np

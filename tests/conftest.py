@@ -23,3 +23,35 @@ jax.config.update('jax_platforms',
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# tests dir itself: cross-test imports (e.g. test_battle_batch reuses
+# test_algo's greedy loop-form oracle) resolve under plain `pytest tests/`
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# --- slow-test gating ----------------------------------------------------
+# The heavy tail (2-process gloo cluster, the 8-device dryrun's full
+# sharded episodes, the pallas-kernel parity sweep, the masked-evaluator
+# reference sweep) costs ~8 of the suite's ~15 minutes. Default runs skip
+# it; `pytest --runslow` (CI-full) runs everything.
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        '--runslow', action='store_true', default=False,
+        help='also run tests marked slow (2-process cluster, multichip '
+             'dryrun, pallas parity, evaluator reference sweep)')
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        'markers', 'slow: long-running gate, skipped unless --runslow')
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption('--runslow'):
+        return
+    skip = pytest.mark.skip(reason='slow gate — run with --runslow')
+    for item in items:
+        if 'slow' in item.keywords:
+            item.add_marker(skip)

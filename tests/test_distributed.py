@@ -11,6 +11,7 @@ from marlsnake_tpu.parallel.distributed import (launch_local_cluster,
 
 @pytest.mark.skipif(len(jax.devices()) < 8,
                     reason='needs 8 virtual devices')
+@pytest.mark.slow
 def test_scaling_efficiency_runs():
     cfg = EnvConfig(height=10, width=10, num_snakes=2, snake_length=3)
     out = scaling_efficiency(cfg, envs_per_device=16, num_steps=8)
@@ -20,6 +21,7 @@ def test_scaling_efficiency_runs():
     assert 0 < out['efficiency'] < 10
 
 
+@pytest.mark.slow
 def test_two_process_cpu_cluster():
     """Spawns a REAL 2-process jax.distributed cluster on localhost (CPU
     backend, gloo collectives, 4 devices per process), runs one sharded

@@ -104,6 +104,7 @@ def ref_get_action(obs_i, current_dir, occupied, q_values):
 
 
 @pytest.mark.parametrize('seed', range(4))
+@pytest.mark.slow
 def test_masked_actions_match_reference_logic(seed):
     cfg = EnvConfig(height=12, width=12, num_snakes=3, snake_length=3,
                     num_fruits=3)

@@ -16,6 +16,7 @@ from marlsnake_tpu.ops.pallas_step import build_pallas_step
 
 
 @pytest.mark.parametrize('seed', [0])
+@pytest.mark.slow
 def test_pallas_step_equals_xla_engine(seed):
     cfg = EnvConfig(height=10, width=10, num_snakes=2, snake_length=3,
                     num_fruits=2)

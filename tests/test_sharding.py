@@ -34,6 +34,7 @@ def test_distributed_dqn_episode():
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_distributed_ppo_update():
     from marlsnake_tpu.algo.ppo_trainer import PPOConfig
     from marlsnake_tpu.parallel.mesh import make_mesh
@@ -90,6 +91,7 @@ def test_graft_entry_contract():
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
