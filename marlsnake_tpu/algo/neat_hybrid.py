@@ -60,6 +60,29 @@ def fc3_to_genome(params, neat_cfg: NeatConfig) -> Genome:
     return genome
 
 
+def sweep_values(wd, bd, actd, evd, num_sweeps: int, inp: int, out: int,
+                 emb):
+    """K masked dense sweeps over padded node values (see
+    :class:`PaddedNetBatch`); pure function of the population tensors so
+    jitted programs can take them as runtime arguments."""
+    m = wd.shape[-1]
+    v = jnp.pad(emb.astype(jnp.float32),
+                ((0, 0), (0, 0), (0, m - inp)))
+
+    def sweep(_, v):
+        pre = jnp.einsum('pmj,pnj->pnm', wd, v) + bd[:, None, :]
+        relu_v = jnp.maximum(pre, 0.0)
+        sig_v = jax.nn.sigmoid(jnp.clip(5.0 * pre, -60.0, 60.0))
+        tanh_v = jnp.tanh(jnp.clip(2.5 * pre, -60.0, 60.0))
+        a = actd[:, None, :]
+        new = jnp.where(a == 1, sig_v,
+                        jnp.where(a == 2, tanh_v, relu_v))
+        return jnp.where(evd[:, None, :], new, v)
+
+    v = jax.lax.fori_loop(0, num_sweeps, sweep, v)
+    return v[..., inp:inp + out]
+
+
 class PaddedNetBatch:
     """The whole population's genomes as ONE padded dense-sweep stack.
 
@@ -133,31 +156,27 @@ class PaddedNetBatch:
                             continue
                         w[p, s, slot[i]] += g.connections[(i, o)].weight
 
-        wd, bd = jnp.asarray(w), jnp.asarray(b)
-        actd, evd = jnp.asarray(act), jnp.asarray(ev)
+        # exposed so callers can close a jitted program over the BUCKET
+        # (m, num_sweeps) and pass these as runtime arguments — new
+        # generations then reuse the compiled episode (see
+        # HybridNEATTrainer._episode_runner)
+        self.wd, self.bd = jnp.asarray(w), jnp.asarray(b)
+        self.actd, self.evd = jnp.asarray(act), jnp.asarray(ev)
+        wd, bd, actd, evd = self.wd, self.bd, self.actd, self.evd
         num_sweeps = self.num_sweeps
 
         def run_sweeps(emb):  # (pop, n, inp) -> (pop, n, out) values
-            v = jnp.pad(emb.astype(jnp.float32),
-                        ((0, 0), (0, 0), (0, m - inp)))
-
-            def sweep(_, v):
-                pre = jnp.einsum('pmj,pnj->pnm', wd, v) + bd[:, None, :]
-                relu_v = jnp.maximum(pre, 0.0)
-                sig_v = jax.nn.sigmoid(jnp.clip(5.0 * pre, -60.0, 60.0))
-                tanh_v = jnp.tanh(jnp.clip(2.5 * pre, -60.0, 60.0))
-                a = actd[:, None, :]
-                new = jnp.where(a == 1, sig_v,
-                                jnp.where(a == 2, tanh_v, relu_v))
-                return jnp.where(evd[:, None, :], new, v)
-
-            v = jax.lax.fori_loop(0, num_sweeps, sweep, v)
-            return v[..., inp:inp + out]
+            return sweep_values(wd, bd, actd, evd, num_sweeps, inp, out,
+                                emb)
 
         self._acts = jax.jit(
             lambda emb: jnp.argmax(run_sweeps(emb), axis=-1)
             .astype(jnp.int32))
         self._logits = jax.jit(run_sweeps)
+
+    @property
+    def tensors(self):
+        return (self.wd, self.bd, self.actd, self.evd)
 
     def acts(self, emb) -> jnp.ndarray:
         """(pop, n, num_inputs) embeddings -> (pop, n) greedy actions."""
@@ -203,6 +222,51 @@ class HybridNEATTrainer:
         self._embed = embed
         self._step_jit = jax.jit(self._step_env)
         self._reset_jit = jax.jit(self._reset_env)
+        self._runners = {}
+
+    def _episode_runner(self, m: int, num_sweeps: int):
+        """ONE jitted program for a whole fitness episode: frozen-DQN
+        embed + padded-net sweeps + env step inside a ``lax.while_loop``
+        (early exit when every env is done). Population tensors are
+        runtime ARGUMENTS, so only a new (m, num_sweeps) bucket — the
+        padded topology size — recompiles; new generations inside a
+        bucket reuse the program. This replaces a host-driven step loop
+        whose 3 device round-trips per step cost ~5 min/generation over
+        the 2ms-RPC TPU tunnel (~250x the device time)."""
+        key = (m, num_sweeps)
+        if key not in self._runners:
+            inp = self.neat_cfg.num_inputs
+            out_n = self.neat_cfg.num_outputs
+            steps = self.episode_steps
+            step_env = self._step_env
+            embed = self._embed
+
+            @jax.jit
+            def run(dqn_params, wd, bd, actd, evd, states, obs):
+                def cond(carry):
+                    _, _, done, _, t = carry
+                    return (t < steps) & ~done.all()
+
+                def body(carry):
+                    states, obs, done, ret, t = carry
+                    emb = embed(dqn_params, obs)
+                    vals = sweep_values(wd, bd, actd, evd, num_sweeps,
+                                        inp, out_n, emb)
+                    acts = jnp.argmax(vals, -1).astype(jnp.int32)
+                    actions = jnp.where(done, 0, acts)
+                    states, out = step_env(states, actions)
+                    return (states, out.obs, done | out.done,
+                            ret + out.reward, t + 1)
+
+                n = obs.shape[1]
+                pop = obs.shape[0]
+                init = (states, obs, jnp.zeros((pop, n), bool),
+                        jnp.zeros((pop, n), jnp.float32), jnp.int32(0))
+                final = jax.lax.while_loop(cond, body, init)
+                return final[3]
+
+            self._runners[key] = run
+        return self._runners[key]
 
     def eval_genomes(self, genomes, cfg: NeatConfig):
         """Batched fitness: one env per genome, all stepped together.
@@ -210,30 +274,19 @@ class HybridNEATTrainer:
         The WHOLE population acts on device regardless of topology:
         genomes are stacked into one :class:`PaddedNetBatch` (K masked
         dense sweeps reproduce ``FeedForwardNetwork.activate`` exactly),
-        so structural mutations no longer drop anyone to a per-step
-        python fallback — generation wall time stays flat as topologies
-        mutate."""
+        and the entire episode runs as one jitted while_loop on device
+        (see :meth:`_episode_runner`) — generation wall time stays flat
+        as topologies mutate, and no per-step host round-trip exists."""
         import numpy as np
-        n = self.env_cfg.num_snakes
         pop = len(genomes)
         batch = PaddedNetBatch([g for _, g in genomes], cfg)
         keys = jax.random.split(
             jax.random.fold_in(jax.random.key(self.seed), self._gen_tick()),
             pop)
         states, obs = self._reset_jit(keys)
-        returns = np.zeros((pop, n))
-        done = np.zeros((pop, n), bool)
-        for _ in range(self.episode_steps):
-            emb_dev = self._embed(self.dqn_params, jnp.asarray(obs))
-            acts = np.asarray(batch.acts(emb_dev))
-            actions = np.where(done, 0, acts).astype(np.int32)
-            states, out = self._step_jit(states, jnp.asarray(actions))
-            rews = np.asarray(out.reward)
-            returns += rews
-            done = np.asarray(out.done)
-            if done.all():
-                break
-            obs = out.obs
+        run = self._episode_runner(batch.m, batch.num_sweeps)
+        returns = np.asarray(run(self.dqn_params, *batch.tensors,
+                                 states, obs))
 
         for (gid, genome), ret in zip(genomes, returns):
             genome.fitness = float(ret.mean())

@@ -184,3 +184,48 @@ def test_encode_frame_cropped_matches_padded_crop(n, h, w):
                 if 0 <= y < h and 0 <= x < w:
                     want[s, dy + v, dx + v] = full[s, y, x]
     np.testing.assert_array_equal(got, want)
+
+
+def test_packed_ring_roundtrip_across_word_boundaries():
+    """2-bit-packed ring ops == a plain per-slot deque model through
+    pushes/pops that wrap words (cap > 16) and the ring itself."""
+    import numpy as np
+    from marlsnake_tpu.core.state import (
+        ring_num_words, ring_pack_prefix, ring_push, ring_pop_tail,
+        ring_slots, tail_direction)
+
+    cap = 37  # 3 words, non-multiple of 16
+    n = 3
+    rng = np.random.default_rng(0)
+    dirs0 = jnp.asarray(rng.integers(0, 4, size=(n, 2)), jnp.int32)
+    ring = ring_pack_prefix(dirs0, cap)
+    assert ring.shape == (n, ring_num_words(cap))
+    head = jnp.zeros((n,), jnp.int32)
+    length = jnp.full((n,), 2, jnp.int32)
+
+    # host model: list per snake, newest first
+    model = [list(map(int, np.asarray(dirs0)[i])) for i in range(n)]
+
+    for step in range(60):
+        d = jnp.asarray(rng.integers(0, 4, size=(n,)), jnp.int32)
+        push_mask = jnp.asarray(rng.random(n) < 0.9)
+        ring, head, length = ring_push(ring, head, length, d, push_mask,
+                                       cap)
+        for i in range(n):
+            if bool(push_mask[i]):
+                model[i].insert(0, int(d[i]))
+        # oldest-link read must match before popping
+        tails = np.asarray(tail_direction(ring, head, length, cap))
+        for i in range(n):
+            assert tails[i] == model[i][-1], (step, i)
+        pop_mask = jnp.asarray(rng.random(n) < 0.7) & (length > 1)
+        popped, length = ring_pop_tail(ring, head, length, pop_mask, cap)
+        for i in range(n):
+            if bool(pop_mask[i]):
+                assert int(popped[i]) == model[i].pop(), (step, i)
+        # full unpacked window equals the model
+        slots = np.asarray(ring_slots(ring, cap))
+        for i in range(n):
+            h0, ln = int(head[i]), int(length[i])
+            window = [slots[i][(h0 + j) % cap] for j in range(ln)]
+            assert window == model[i], (step, i)

@@ -36,6 +36,11 @@ from marlsnake_tpu.models.dqn import DQN, DistilledDQN
 def main():
     outer_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 60
     num_envs = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    conv = tuple(int(c) for c in
+                 (sys.argv[3].split(',') if len(sys.argv) > 3
+                  else (16, 32)))
+    fc = tuple(int(c) for c in
+               (sys.argv[4].split(',') if len(sys.argv) > 4 else (64,)))
     rollout_steps = 32
     sgd_steps = 64
     batch = 4096
@@ -51,7 +56,8 @@ def main():
     teacher = DQN(num_actions=3, assume_binary_obs=True)
     t_params = ts.params
 
-    student = DistilledDQN(num_actions=3)
+    student = DistilledDQN(num_actions=3, conv_channels=conv,
+                           fc_features=fc)
     reset_fn, step_fn = build_vector_fns(cfg, autoreset=True)
     e, n = num_envs, cfg.num_snakes
 
