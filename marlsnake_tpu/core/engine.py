@@ -73,7 +73,6 @@ _DIR_DELTA = T.DIR_DELTA
 _FRUITS_MXU_MAX_CELLS = int(
     os.environ.get('SNAKE_FRUITS_MXU_MAX_CELLS', '1024'))
 
-
 @struct.dataclass
 class StepOutput:
     obs: jnp.ndarray      # (N, Ho, Wo, 8*frame_stack) uint8
@@ -590,6 +589,11 @@ def _step_core(cfg: T.EnvConfig, state: EnvState,
 
     # --- Phase 2: collision vs pre-move grid ---
     # dense gather: (N, HW) one-hot dot beats a tiny dynamic gather on TPU
+    # (u32-packing this gather like the vision window measured a LOSS,
+    # 10.83M vs 11.53M headline round 4: the pack pass over the grid
+    # does not fuse into the collision fusion the way the plain one-hot
+    # select does, and the 0.7ms grid broadcast it targeted is cheaper
+    # than a separate 400-element pack per env.)
     tgt_flat_idx = tgt[:, 0] * w + tgt[:, 1]
     tgt_onehot = tgt_flat_idx[:, None] == jnp.arange(hw)[None, :]
     tgt_cell = (jnp.where(tgt_onehot, grid.reshape(-1)[None, :], 0)

@@ -20,6 +20,14 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms',
                   os.environ.get('MARLSNAKE_TEST_PLATFORM', 'cpu'))
 
+# Persistent XLA compilation cache: the suite is compile-dominated on
+# CPU, and most programs are identical run to run — warm runs cut the
+# wall substantially (measured 2.2x on a representative env compile).
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

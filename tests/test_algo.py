@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from marlsnake_tpu.algo import replay
 from marlsnake_tpu.core import types as T
@@ -340,6 +341,7 @@ def test_dqn_update_pacing_modes():
         DQNTrainer(DQNConfig(max_steps_per_episode=10, update_every=3))
 
 
+@pytest.mark.slow
 def test_dqn_fused_act_update_mode():
     """Opt-in fused acting+update (the TPU 'overlap' translation: one
     (E*N + batch)-row forward per step, minibatch sampled pre-push).
