@@ -99,14 +99,19 @@ def measure_acting(cfg: EnvConfig, num_envs: int, num_steps: int = 64,
     analog is a per-agent batch-1 torch forward on host obs
     (train_dqn.py:163-173), unmeasurably slower.
 
-    ``optimized=True`` applies the round-3 acting-path winners
-    (tools/exp_acting.py matrix, trace-attributed in NEXT_STEPS.md):
+    ``optimized=True`` applies the acting-path winners (rounds 3-4,
+    tools/exp_acting.py matrix, trace-attributed in NEXT_STEPS.md):
     bf16 convs/matmuls, skip the conditional-/255 whole-obs max reduce
-    (binary obs — bit-identical), and zero-pad obs channels 8->16 before
-    conv1 (exact math; fills the MXU contraction). ~2x the f32 row on
-    v5e; the f32 row keeps the reference's exact inference numerics."""
+    (binary obs — bit-identical), zero-pad obs channels 8->16 before
+    conv1 (exact math; fills the MXU contraction), and re-encode the
+    observation from the carried grid at policy ingress instead of
+    carrying the 52MB obs through the scan (bit-identical for full-obs
+    frame_stack=1; the pad then fuses into the encode and the env's
+    internal encode is DCE'd — 264k -> 319k env-steps/s). The f32 row
+    keeps the reference's exact inference numerics and obs flow."""
     import functools
     import jax.numpy as jnp
+    from marlsnake_tpu.core import engine
     from marlsnake_tpu.envs.vector import build_vector_fns
     from marlsnake_tpu.models.dqn import DQN
 
@@ -126,6 +131,11 @@ def measure_acting(cfg: EnvConfig, num_envs: int, num_steps: int = 64,
             flat = jnp.pad(flat, [(0, 0)] * (flat.ndim - 1) + [(0, pad)])
         return flat
 
+    def obs_of(states):
+        frame = jax.vmap(lambda g: engine.encode_frame(cfg, g))(
+            states.grid)
+        return prep(frame)
+
     @jax.jit
     def init(key):
         keys = jax.random.split(key, e)
@@ -135,6 +145,18 @@ def measure_acting(cfg: EnvConfig, num_envs: int, num_steps: int = 64,
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def rollout(states, obs, params):
+        if optimized:
+            # obs never enters the carry: re-encoded from states.grid
+            # at policy ingress; the env's internal encode is DCE'd
+            def body(states, _):
+                q = net.apply(params, obs_of(states))
+                actions = q.argmax(-1).astype(jnp.int32).reshape(e, n)
+                states, out = step_fn(states, actions)
+                return states, out.reward.sum()
+
+            states, rews = jax.lax.scan(body, states, length=num_steps)
+            return states, obs, rews.sum()
+
         def body(carry, _):
             states, obs = carry
             q = net.apply(params, prep(obs))

@@ -470,6 +470,63 @@ def measure_grouped(cfg, num_envs, num_steps, iters, groups=4,
     return e * num_steps / best, e * num_steps / med
 
 
+def measure_reencode(cfg, num_envs, num_steps, iters,
+                     dtype=jnp.bfloat16, pad=8):
+    """Obs leaves the scan carry entirely: the policy re-encodes its
+    observation from the carried ``states.grid`` at ingress
+    (bit-identical for full-obs frame_stack=1 — encode_frame is a pure
+    function of the grid, and step_autoreset's own obs is encoded from
+    exactly that post-select grid; the env's internal encode is then
+    DCE'd, so still ONE encode per step). The 8->16 channel pad now
+    reads the encode's producer inside the same fusion instead of the
+    52MB carry (the 2.25ms pad copy of bf16_pad16), and the carry
+    shrinks by the 52MB obs."""
+    from marlsnake_tpu.core import engine
+    reset_fn, step_fn = build_vector_fns(cfg, autoreset=True)
+    e, n = num_envs, cfg.num_snakes
+    net = DQN(num_actions=cfg.num_actions, compute_dtype=dtype,
+              assume_binary_obs=True)
+
+    def obs_of(states):
+        frame = jax.vmap(lambda g: engine.encode_frame(cfg, g))(
+            states.grid)                       # (E, N, H, W, 8)
+        flat = frame.reshape((e * n,) + frame.shape[2:])
+        if pad:
+            flat = jnp.pad(flat, [(0, 0)] * (flat.ndim - 1) + [(0, pad)])
+        return flat
+
+    @jax.jit
+    def init(key):
+        keys = jax.random.split(key, e)
+        states, _ = reset_fn(keys)
+        params = net.init(jax.random.key(7), obs_of(states)[:1])
+        return states, params
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def rollout(states, params):
+        def body(states, _):
+            q = net.apply(params, obs_of(states))
+            actions = q.argmax(-1).astype(jnp.int32).reshape(e, n)
+            states, out = step_fn(states, actions)
+            return states, out.reward.sum()
+
+        states, rews = jax.lax.scan(body, states, length=num_steps)
+        return states, rews.sum()
+
+    states, params = init(jax.random.key(0))
+    states, r = rollout(states, params)
+    r.block_until_ready()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        states, r = rollout(states, params)
+        r.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    med = sorted(times)[len(times) // 2]
+    return e * num_steps / best, e * num_steps / med
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--envs', type=int, default=4096)
@@ -514,6 +571,14 @@ def main():
                               'median': round(med),
                               'argmax_agreement_vs_f32': round(agree, 4)}),
                   flush=True)
+            continue
+        if name in ('bf16_reencode_pad16', 'bf16_reencode'):
+            best, med = measure_reencode(
+                cfg, args.envs, args.steps, args.iters,
+                pad=8 if name.endswith('pad16') else 0)
+            print(json.dumps({'variant': name,
+                              'env_steps_per_sec': round(best),
+                              'median': round(med)}), flush=True)
             continue
         if name == 'bf16_carrypad16':
             best, med = measure_carrypad(cfg, args.envs, args.steps,
