@@ -51,6 +51,12 @@ CONFIGS = [
      EnvConfig(height=10, width=10, num_snakes=1, snake_length=3), 616.0),
 ]
 
+# GraphSnakeEnv row: batched 5-ray distance features instead of grid obs
+# (reference envs/graph_snake_env.py; fixed-shape rays in ops/rays.py).
+GRAPH_CONFIG = ('20x20x4_graph', 4096,
+                EnvConfig(height=20, width=20, num_snakes=4,
+                          snake_length=3))
+
 # Launch-bound rows (tiny per-step device time) get LONGER scan blocks so
 # host/tunnel dispatch amortizes: the 10x10 row had shown 30-44M
 # cross-session spread at 256-step scans (VERDICT r3); 1024-step scans
@@ -59,13 +65,46 @@ CONFIGS = [
 LONG_SCAN = {'10x10x1': 1024}
 
 
+def build_graph_rollout(cfg: EnvConfig, num_envs: int, num_steps: int):
+    """bench.build_rollout shape, but over the GraphSnakeEnv vector fns
+    (ray features consumed via the same checksum contract)."""
+    import functools
+    import jax.numpy as jnp
+    from marlsnake_tpu.envs.vector import build_graph_vector_fns
+
+    reset_fn, step_fn = build_graph_vector_fns(cfg, autoreset=True)
+
+    @jax.jit
+    def init(key):
+        keys = jax.random.split(key, num_envs)
+        states, _ = reset_fn(keys)
+        return states
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def rollout(states, key):
+        def body(carry, _):
+            states, key = carry
+            key, k = jax.random.split(key)
+            actions = jax.random.randint(
+                k, (num_envs, cfg.num_snakes), 0, cfg.num_actions)
+            states, out = step_fn(states, actions)
+            return (states, key), (out.reward.sum(), out.obs.sum())
+
+        (states, key), (rews, checks) = jax.lax.scan(
+            body, (states, key), length=num_steps)
+        return states, rews.sum() + checks.sum()
+
+    return init, rollout
+
+
 def measure(cfg: EnvConfig, num_envs: int, num_steps: int = 256,
-            iters: int = 2, blocks: int = 4) -> dict:
+            iters: int = 2, blocks: int = 4, graph: bool = False) -> dict:
     """Best/median/spread over ``blocks`` timed blocks of ``iters``
     rollouts each. Spread is (max-min)/median — tunnel noise is
     host-side, so best-of is the honest device throughput and the
     spread field makes the noise visible instead of trusted."""
-    init, rollout = build_rollout(cfg, num_envs, num_steps)
+    builder = build_graph_rollout if graph else build_rollout
+    init, rollout = builder(cfg, num_envs, num_steps)
     states = init(jax.random.key(0))
     states, r = rollout(states, jax.random.key(1))
     r.block_until_ready()
@@ -205,6 +244,12 @@ def main():
         }
         rows.append(row)
         print(json.dumps(row))
+    gtag, genvs, gcfg = GRAPH_CONFIG
+    m = measure(gcfg, genvs, graph=True)
+    row = {'config': gtag, 'num_envs': genvs, **m,
+           'reference_steps_per_sec': None, 'vs_reference': None}
+    rows.append(row)
+    print(json.dumps(row))
     # policy-in-the-loop: greedy DQN forward for all 4096*4 agents
     # fused into the same jitted rollout (the actor loop of eval/training)
     acting_cfg = EnvConfig(height=20, width=20, num_snakes=4,

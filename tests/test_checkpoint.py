@@ -56,3 +56,26 @@ def test_bf16_models():
     assert q.dtype == jnp.float32 and q.shape == (4, 3)
     # params stay f32 (mixed precision: bf16 compute, f32 storage)
     assert jax.tree.leaves(params)[0].dtype == jnp.float32
+
+
+def test_dqn_checkpoint_writes_topology_sidecar(tmp_path):
+    """save_checkpoint persists obs_pad_channels next to the orbax tree
+    (consumers applying padded-trained params on raw 8-channel obs need
+    it; the orbax payload itself stays template-compatible)."""
+    import json
+    import os
+    from marlsnake_tpu.algo.dqn_trainer import DQNConfig, DQNTrainer
+
+    cfg = DQNConfig(height=8, width=8, num_snakes=2, snake_length=2,
+                    obs_pad_channels=8, save_dir=str(tmp_path))
+    tr = DQNTrainer(cfg)
+    ts = tr.init_state()
+    tr.save_checkpoint(ts, 'probe')
+    meta_path = tr._ckpt_path('probe') + '.meta.json'
+    assert os.path.exists(meta_path)
+    assert json.load(open(meta_path))['obs_pad_channels'] == 8
+    # and the payload restores through the unchanged template
+    ts2, _ = tr.load_checkpoint('probe', tr.init_state())
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: (np.asarray(a) == np.asarray(b)).all(),
+        ts.params, ts2.params))
