@@ -215,7 +215,11 @@ def measure_acting(cfg: EnvConfig, num_envs: int, num_steps: int = 64,
         t0 = time.perf_counter()
         for _ in range(iters):
             states, obs, r = rollout(states, obs, params)
-        r.block_until_ready()
+            # block EVERY call: one ~2ms tunnel RTT per 0.8s rollout —
+            # twice this session an async chain returned a garbage
+            # (~1e9 steps/s) timing over the tunnel; per-call blocking
+            # removes the race at negligible cost
+            r.block_until_ready()
         per_block.append(
             e * num_steps * iters / (time.perf_counter() - t0))
     per_block.sort()

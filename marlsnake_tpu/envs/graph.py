@@ -15,7 +15,8 @@ import jax
 from marlsnake_tpu.core import engine
 from marlsnake_tpu.core.types import EnvConfig
 from marlsnake_tpu.envs.env import SnakeEnv
-from marlsnake_tpu.ops.rays import ray_features
+from marlsnake_tpu.ops.rays import (ray_features, ray_features_from_grid,
+                                    use_grid_rays)
 
 
 class GraphSnakeEnv(SnakeEnv):
@@ -35,17 +36,23 @@ class GraphSnakeEnv(SnakeEnv):
         self._reset_g = jax.jit(functools.partial(self._reset_impl))
         self._step_g = jax.jit(functools.partial(self._step_impl))
 
+    def _rays(self, state, obs):
+        # frame_stack=1: derive rays from the grid (exact; kills the
+        # TPU-hostile obs dynamic-gather — see ops/rays.py)
+        if use_grid_rays(self.cfg):
+            return ray_features_from_grid(
+                self.cfg, state.grid, state.head, state.direction,
+                state.alive)
+        return ray_features(self.cfg, obs, state.head, state.direction,
+                            state.alive)
+
     def _reset_impl(self, key):
         state, obs = engine.reset(self.cfg, self.spawn, key)
-        proc = ray_features(self.cfg, obs, state.head, state.direction,
-                            state.alive)
-        return state, proc
+        return state, self._rays(state, obs)
 
     def _step_impl(self, state, actions):
         state, out = engine.step(self.cfg, state, actions)
-        proc = ray_features(self.cfg, out.obs, state.head, state.direction,
-                            state.alive)
-        return state, out.replace(obs=proc)
+        return state, out.replace(obs=self._rays(state, out.obs))
 
     def reset(self, key):
         return self._reset_g(key)

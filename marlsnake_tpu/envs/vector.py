@@ -60,10 +60,37 @@ def build_vector_fns(cfg: EnvConfig, autoreset: bool = True):
 
 def build_graph_vector_fns(cfg: EnvConfig, autoreset: bool = True):
     """Vectorized GraphSnakeEnv: batched ray-feature observations
-    (B, N, 5, C) in place of the grid obs (see envs/graph.py)."""
-    from marlsnake_tpu.ops.rays import ray_features
+    (B, N, 5, C) in place of the grid obs (see envs/graph.py).
+
+    For frame_stack=1 the rays derive straight from the carried GRID
+    (ops/rays.ray_features_from_grid — exact: obs is a pure function of
+    the grid, and both step and autoreset return the state the obs was
+    encoded from), so the (B, N, H, W, 8) obs encode is dead code and
+    XLA eliminates it; the obs-gather form it replaces lowered to a
+    serialized kCustom dynamic gather (293k -> measured in
+    bench_table's graph row)."""
+    from marlsnake_tpu.ops.rays import (ray_features,
+                                        ray_features_from_grid,
+                                        use_grid_rays)
 
     reset_fn, step_fn = build_vector_fns(cfg, autoreset)
+
+    if use_grid_rays(cfg):
+        grays = jax.vmap(functools.partial(ray_features_from_grid, cfg))
+
+        def reset_g(keys):
+            states, _ = reset_fn(keys)
+            return states, grays(states.grid, states.head,
+                                 states.direction, states.alive)
+
+        def step_g(states, actions):
+            states, out = step_fn(states, actions)
+            proc = grays(states.grid, states.head, states.direction,
+                         states.alive)
+            return states, out.replace(obs=proc)
+
+        return reset_g, step_g
+
     rays = jax.vmap(functools.partial(ray_features, cfg))
 
     def reset_g(keys):

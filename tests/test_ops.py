@@ -3,6 +3,7 @@
 import math
 from collections import deque
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -229,3 +230,40 @@ def test_packed_ring_roundtrip_across_word_boundaries():
             h0, ln = int(head[i]), int(length[i])
             window = [slots[i][(h0 + j) % cap] for j in range(ln)]
             assert window == model[i], (step, i)
+
+
+@pytest.mark.parametrize('cfg_kw', [
+    dict(height=12, width=12, num_snakes=4, snake_length=3),
+    dict(height=13, width=11, num_snakes=3, snake_length=3,
+         vision_range=4),
+    dict(height=20, width=20, num_snakes=4, snake_length=3,
+         vision_range=5),
+])
+def test_ray_features_from_grid_equals_obs_form(cfg_kw):
+    """ray_features_from_grid == ray_features over the encoded obs,
+    exactly, on real rollout states (obs is a pure function of the grid
+    for frame_stack=1; the grid form byte-selects packed words and must
+    reproduce window clipping, zero-padded out-of-grid cells, and dead
+    snakes)."""
+    import numpy as np
+    from marlsnake_tpu.core import engine
+    from marlsnake_tpu.core.spawn import SpawnData, spawn_data
+    from marlsnake_tpu.core.types import EnvConfig
+    from marlsnake_tpu.ops.rays import ray_features, ray_features_from_grid
+
+    cfg = EnvConfig(**cfg_kw)
+    sd = spawn_data(cfg.height, cfg.width, cfg.snake_length,
+                    cfg.num_snakes, pool_size=256)
+    spawn = SpawnData(jnp.asarray(sd.cells),
+                      None if sd.blob is None else jnp.asarray(sd.blob))
+    rng = np.random.default_rng(1)
+    state, obs = engine.reset(cfg, spawn, jax.random.key(3))
+    for t in range(40):
+        a = ray_features(cfg, obs, state.head, state.direction,
+                         state.alive)
+        b = ray_features_from_grid(cfg, state.grid, state.head,
+                                   state.direction, state.alive)
+        assert np.array_equal(np.asarray(a), np.asarray(b)), t
+        acts = jnp.asarray(rng.integers(0, 3, size=cfg.num_snakes))
+        state, out = engine.step(cfg, state, acts)
+        obs = out.obs
