@@ -238,7 +238,18 @@ class VectorAdapter:
 
 
 class RenderGUI(Wrapper):
-    """cv2 window + optional mp4 capture (wrappers.py:20-82)."""
+    """cv2 window + optional mp4 capture.
+
+    Deliberately a close port of the reference's GUI shim
+    (wrappers.py:20-82) rather than a redesign: it is ~45 lines of
+    host-side cv2 calls with essentially one correct shape (named
+    window, BGR convert, lazily-opened mp4v writer), kept
+    field-compatible (``window_initialized``, ``render_size``) so users
+    of the reference find the same knobs. TPU-native additions: frames
+    come from the vectorized ``render_fancy`` grid renderer, and a
+    ``headless`` mode (auto-detected from DISPLAY) skips the window for
+    CI/batch use.
+    """
 
     def __init__(self, env, window_name: str = 'Snake AI',
                  save_video: bool = False, video_path: str = 'output.mp4',

@@ -141,3 +141,31 @@ def test_blob_reset_equals_dense_paint(cfg_kw):
                   else (a, b))),
             s1, s2)
         np.testing.assert_array_equal(o1, o2)
+
+
+def test_many_snakes_skips_blob_and_resets_correctly():
+    """num_snakes > 16 cannot use the uint8-painted blob (owner bits
+    would wrap silently) — spawn_data must omit it and the on-device
+    paint fallback must produce a consistent reset."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from marlsnake_tpu.core import engine
+    from marlsnake_tpu.core import types as T
+    from marlsnake_tpu.core.spawn import SpawnData, spawn_data
+    from marlsnake_tpu.core.types import EnvConfig
+
+    n = 17
+    sd = spawn_data(20, 20, 2, n, pool_size=64)
+    assert sd.blob is None  # gate: fallback path
+    cfg = EnvConfig(height=20, width=20, num_snakes=n, snake_length=2)
+    spawn = SpawnData(jnp.asarray(sd.cells), None)
+    state, obs = engine.reset(cfg, spawn, jax.random.key(0))
+    grid = np.asarray(state.grid)
+    t = T.cell_type(grid)
+    owner = T.cell_owner(grid)
+    for i in range(n):
+        assert ((t == T.HEAD) & (owner == i)).sum() == 1, i
+        assert ((t == T.TAIL) & (owner == i)).sum() == 1, i
+    assert np.asarray(state.alive).all()
+    assert obs.shape == (n, 20, 20, 8)
