@@ -233,8 +233,17 @@ def base_grid_host(height: int, width: int, map_layout=None) -> np.ndarray:
 @functools.lru_cache(maxsize=32)
 def spawn_data(height: int, width: int, k: int, num_snakes: int,
                pool_size: int = 1 << 16, seed: int = 0,
-               map_layout=None) -> SpawnData:
-    """Precompute the flat spawn cells + painted grid of every pool row."""
+               map_layout=None, min_blob_cells: int = 256) -> SpawnData:
+    """Precompute the flat spawn cells + painted grid of every pool row.
+
+    ``min_blob_cells`` gates the painted-grid blob by board size: the
+    per-reset row gather is LATENCY-bound per row (nearly independent
+    of row length — a 2-word cells row costs almost what the 27-word
+    10x10 blob row does), so on small boards the on-device dense paint
+    (a few hundred one-hot ops) beats carrying the paint in the gather:
+    10x10x1 measured 33.2M -> 34.5M env-steps/s without the blob, while
+    the 400-cell boards keep their ~2.5ms/64-steps blob win.
+    """
     from marlsnake_tpu.core import types as T
     cand = spawn_candidates(height, width, k, map_layout)
     pool = spawn_pool(height, width, k, num_snakes, pool_size, seed,
@@ -249,7 +258,8 @@ def spawn_data(height: int, width: int, k: int, num_snakes: int,
     # holds owners 0..15 (max code TAIL | 15<<4 = 245) — beyond 16
     # snakes the paint would silently wrap, so those configs take the
     # on-device paint fallback in engine._reset_core instead
-    if height * width <= 0xFFFF and num_snakes <= 16 and len(cells):
+    if (height * width <= 0xFFFF and num_snakes <= 16
+            and height * width >= min_blob_cells and len(cells)):
         p = len(cells)
         base = base_grid_host(height, width, map_layout)
         painted = np.broadcast_to(

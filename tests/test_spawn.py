@@ -102,7 +102,8 @@ def test_blob_reset_equals_dense_paint(cfg_kw):
                     map_layout=layout, spawn_pool_size=256, **kw)
     sd = spawn_data(cfg.height, cfg.width, cfg.snake_length,
                     cfg.num_snakes, pool_size=cfg.spawn_pool_size,
-                    map_layout=cfg.map_layout)
+                    map_layout=cfg.map_layout,
+                    min_blob_cells=0)  # force the blob on small boards
     assert sd.blob is not None
     p, hw = len(sd.cells), cfg.height * cfg.width
 
