@@ -560,12 +560,23 @@ class DQNTrainer:
         return os.path.abspath(
             os.path.join(self.config.save_dir, f'shared_model_{tag}'))
 
-    def save_checkpoint(self, ts: TrainState, tag):
+    def save_checkpoint(self, ts: TrainState, tag, full: bool = False):
+        # opt_state rides along so a resumed run continues with warm Adam
+        # moments, matching the reference's optimizer.state_dict() in
+        # every checkpoint (train_dqn.py:357-365, restore :369-377).
+        # full=True additionally snapshots the replay buffer and PRNG key
+        # (the whole TrainState), so a killed run resumes with a loss
+        # trajectory BIT-IDENTICAL to the uninterrupted one — something
+        # the reference cannot do (its buffer dies with the process).
         payload = {
             'params': ts.params, 'target_params': ts.target_params,
+            'opt_state': ts.opt_state, 'global_step': ts.global_step,
             'epsilon': ts.epsilon, 'episode': ts.episode,
             'best_mean_reward': jnp.float32(self.best_mean_reward),
         }
+        if full:
+            payload['buffer'] = ts.buffer
+            payload['key'] = jax.random.key_data(ts.key)
         path = self._ckpt_path(tag)
         ckpt.save(path, payload)
         # sidecar (not in the orbax tree: stays loadable by templates
@@ -576,15 +587,42 @@ class DQNTrainer:
             json.dump({'obs_pad_channels': self.config.obs_pad_channels},
                       f)
 
-    def load_checkpoint(self, tag, ts: TrainState):
+    def load_checkpoint(self, tag, ts: TrainState, full: bool = False):
         template = {
             'params': ts.params, 'target_params': ts.target_params,
+            'opt_state': ts.opt_state, 'global_step': ts.global_step,
             'epsilon': ts.epsilon, 'episode': ts.episode,
             'best_mean_reward': jnp.float32(0.0),
         }
-        restored = ckpt.restore(self._ckpt_path(tag), template)
+        if full:
+            template['buffer'] = ts.buffer
+            template['key'] = jax.random.key_data(ts.key)
+            restored = ckpt.restore(self._ckpt_path(tag), template)
+            ts = ts.replace(
+                params=restored['params'],
+                target_params=restored['target_params'],
+                opt_state=restored['opt_state'],
+                global_step=restored['global_step'],
+                epsilon=restored['epsilon'], episode=restored['episode'],
+                buffer=restored['buffer'],
+                key=jax.random.wrap_key_data(restored['key']))
+            return ts, {'best_mean_reward':
+                        float(restored['best_mean_reward'])}
+        try:
+            restored = ckpt.restore(self._ckpt_path(tag), template)
+        except (ValueError, KeyError):
+            # legacy checkpoint (pre opt_state): restore what it has and
+            # keep the fresh optimizer state (cold Adam moments)
+            legacy = {k: template[k] for k in
+                      ('params', 'target_params', 'epsilon', 'episode',
+                       'best_mean_reward')}
+            restored = dict(ckpt.restore(self._ckpt_path(tag), legacy))
+            restored['opt_state'] = ts.opt_state
+            restored['global_step'] = ts.global_step
         ts = ts.replace(params=restored['params'],
                         target_params=restored['target_params'],
+                        opt_state=restored['opt_state'],
+                        global_step=restored['global_step'],
                         epsilon=restored['epsilon'],
                         episode=restored['episode'])
         return ts, {'best_mean_reward':

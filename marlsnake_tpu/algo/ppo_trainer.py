@@ -64,6 +64,12 @@ class PPOConfig:
     # write a 'final' checkpoint into save_dir when train() completes;
     # set False to keep train() free of filesystem side effects
     save_final: bool = True
+    # resume training from a previous checkpoint tag (e.g. 'final'):
+    # restores params + optimizer state + update counter and continues —
+    # the reference's (ghost) PPO checkpoint carries
+    # {model_state_dict, optimizer_state_dict, epoch} for exactly this
+    # (SURVEY.md C35, runs/ppo/20251228-155100/best_model.pt)
+    resume_from: Optional[str] = None
     seed: int = 0
     compute_dtype: Any = jnp.float32
     # bit-identical for engine obs (one-hot {0,1}): skips the
@@ -335,6 +341,10 @@ class PPOTrainer:
         cfg = self.config
         num_updates = num_updates or cfg.num_updates
         ts = self.init_state()
+        start_u = 1
+        if cfg.resume_from:
+            ts = self.load_checkpoint(cfg.resume_from, ts)
+            start_u = int(ts.update) + 1
         writer = None
         if log:
             from datetime import datetime
@@ -343,7 +353,7 @@ class PPOTrainer:
             writer = MetricWriter(os.path.join(
                 cfg.log_dir, datetime.now().strftime('%Y%m%d-%H%M%S')))
         t0 = time.time()
-        for u in range(1, num_updates + 1):
+        for u in range(start_u, num_updates + 1):
             ts, m = self._update(ts)
             if u % 5 == 0 or u == num_updates:
                 scalars = {
@@ -376,18 +386,48 @@ class PPOTrainer:
         return os.path.abspath(
             os.path.join(self.config.save_dir, f'ppo_{tag}'))
 
-    def save_checkpoint(self, ts: PPOTrainState, tag):
+    def _full_payload(self, ts: PPOTrainState):
+        import jax.random as jrandom
+        d = {f.name: getattr(ts, f.name)
+             for f in dataclasses.fields(PPOTrainState)}
+        d['key'] = jrandom.key_data(d['key'])
+        return d
+
+    def save_checkpoint(self, ts: PPOTrainState, tag, full: bool = False):
         import os
         from marlsnake_tpu.utils import checkpoint as ckpt
         os.makedirs(self.config.save_dir, exist_ok=True)
+        # {params, opt_state, update} ≙ the reference PPO checkpoint's
+        # {model_state_dict, optimizer_state_dict, epoch} (SURVEY.md C35).
+        # full=True snapshots the whole PPOTrainState (live env states,
+        # obs, PRNG key) so a killed run resumes bit-identically.
+        if full:
+            ckpt.save(self._ckpt_path(tag), self._full_payload(ts))
+            return
         ckpt.save(self._ckpt_path(tag), {
-            'params': ts.params, 'update': ts.update})
+            'params': ts.params, 'opt_state': ts.opt_state,
+            'update': ts.update})
 
-    def load_checkpoint(self, tag, ts: PPOTrainState) -> PPOTrainState:
+    def load_checkpoint(self, tag, ts: PPOTrainState,
+                        full: bool = False) -> PPOTrainState:
+        import jax.random as jrandom
         from marlsnake_tpu.utils import checkpoint as ckpt
-        restored = ckpt.restore(self._ckpt_path(tag), {
-            'params': ts.params, 'update': ts.update})
+        if full:
+            restored = ckpt.restore(self._ckpt_path(tag),
+                                    self._full_payload(ts))
+            restored['key'] = jrandom.wrap_key_data(restored['key'])
+            return ts.replace(**restored)
+        try:
+            restored = ckpt.restore(self._ckpt_path(tag), {
+                'params': ts.params, 'opt_state': ts.opt_state,
+                'update': ts.update})
+        except (ValueError, KeyError):
+            # legacy checkpoint (pre opt_state): cold optimizer moments
+            restored = dict(ckpt.restore(self._ckpt_path(tag), {
+                'params': ts.params, 'update': ts.update}))
+            restored['opt_state'] = ts.opt_state
         return ts.replace(params=restored['params'],
+                          opt_state=restored['opt_state'],
                           update=restored['update'])
 
 
