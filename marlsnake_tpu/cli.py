@@ -17,6 +17,24 @@ from __future__ import annotations
 import argparse
 
 
+def _cap_seats(opponents: list, names: list, num_snakes: int):
+    """Fit the opponent lineup to the ``num_snakes - 1`` available seats,
+    reserving the last for Greedy (reference lineup, train_dqn.py:
+    986-1003). Tail opponents that don't fit are dropped with a warning
+    — with e.g. ``--num-snakes 3`` and both PPO + NEAT checkpoints
+    present, the unconditional appends used to build 3 opponents for 2
+    seats and fail inside the arena builder. Returns the truncated
+    (opponents, names, seats)."""
+    seats = num_snakes - 1
+    if len(opponents) > seats - 1:
+        for dropped in names[seats:]:
+            print(f'warning: no seat for {dropped} '
+                  f'(num_snakes={num_snakes}), dropping')
+        opponents = opponents[:max(seats - 1, 0)]
+        names = names[:1 + max(seats - 1, 0)]
+    return opponents, names, seats
+
+
 def _env_args(p: argparse.ArgumentParser):
     p.add_argument('--height', type=int, default=20)
     p.add_argument('--width', type=int, default=20)
@@ -181,11 +199,14 @@ def main(argv=None):
                                          data['neat_genome'],
                                          data['neat_config']))
             names.append('Hybrid NEAT')
-        while len(opponents) < args.num_snakes - 2:
+        opponents, names, seats = _cap_seats(opponents, names,
+                                             args.num_snakes)
+        while len(opponents) < seats - 1:
             opponents.append(BatchedRandom())
             names.append('Random Bot')
-        opponents.append(BatchedGreedy())
-        names.append('Greedy Bot')
+        if seats >= 1:
+            opponents.append(BatchedGreedy())
+            names.append('Greedy Bot')
         run = build_battle_batch(tr.net, cfg, opponents,
                                  num_envs=args.episodes, max_steps=512)
         rew, life = run(ts.params, jax.random.key(args.seed))
@@ -225,11 +246,14 @@ def main(argv=None):
                                      data['neat_genome'],
                                      data['neat_config']))
             names.append('Hybrid NEAT')
-        while len(enemies) < args.num_snakes - 2:
+        enemies, names, seats = _cap_seats(enemies, names,
+                                           args.num_snakes)
+        while len(enemies) < seats - 1:
             enemies.append(RandomAgent(len(enemies) + 1))
             names.append('Random Bot')
-        enemies.append(GreedyAgent(args.num_snakes - 1))
-        names.append('Greedy Bot')
+        if seats >= 1:
+            enemies.append(GreedyAgent(args.num_snakes - 1))
+            names.append('Greedy Bot')
         renv = env
         if not args.no_render:
             renv = RenderGUI(env, save_video=True,

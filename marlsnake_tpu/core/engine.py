@@ -414,7 +414,12 @@ def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray,
                  (gw >> 24) & 0xFF], axis=-1).reshape(-1)
             grid = gbytes[:h * w].reshape(h, w)
             cw = rowdata[n_gw:]
-            cell16 = jnp.stack([cw & 0xFFFF, cw >> 16], axis=-1).reshape(-1)
+            # mask BOTH halves: cw is int32, so a bare >>16 would
+            # sign-extend cell indices >= 32768 (boards with
+            # 32768 < H*W <= 65535 pass the blob gate) into negative
+            # flat indices and silently corrupt the reset paint/ring
+            cell16 = jnp.stack([cw & 0xFFFF, (cw >> 16) & 0xFFFF],
+                               axis=-1).reshape(-1)
             cell_flat = cell16[:n * k].reshape(n, k)
         else:
             cell_flat = spawn.cells[row].astype(jnp.int32).reshape(n, k)

@@ -90,3 +90,22 @@ def test_battle_batch_smoke():
     assert (life >= 1).all() and (life <= 48).all()
     table = summarize(rew, life, ['DQN (Main)', 'Greedy', 'Random'])
     assert 'DQN (Main)' in table and '±' in table
+
+
+def test_cli_seat_cap():
+    """battle lineups never exceed num_snakes-1 opponent seats: extras
+    (PPO/NEAT present simultaneously on a small table) are dropped with
+    a warning instead of crashing the arena builder."""
+    from marlsnake_tpu.cli import _cap_seats
+
+    # 3 snakes, PPO + NEAT both present: only one non-Greedy seat
+    opp, names, seats = _cap_seats(['ppo', 'neat'],
+                                   ['DQN (Main)', 'PPO', 'Hybrid NEAT'], 3)
+    assert seats == 2 and opp == ['ppo'] and names == ['DQN (Main)', 'PPO']
+    # 2 snakes: Greedy takes the only seat
+    opp, names, seats = _cap_seats(['ppo'], ['DQN (Main)', 'PPO'], 2)
+    assert seats == 1 and opp == [] and names == ['DQN (Main)']
+    # 4 snakes: both fit (plus Greedy), nothing dropped
+    opp, names, seats = _cap_seats(['ppo', 'neat'],
+                                   ['DQN (Main)', 'PPO', 'Hybrid NEAT'], 4)
+    assert seats == 3 and opp == ['ppo', 'neat']

@@ -82,6 +82,10 @@ def test_40x40_scale_enumeration_is_fast():
     # H*W % 4 != 0 and odd cell count: exercises the blob's u32-word
     # zero-padding of both the grid and cell sections
     dict(height=11, width=13, num_snakes=3, snake_length=3),
+    # 32768 < H*W <= 65535 (inside the blob gate): cell indices >= 32768
+    # land in the HIGH u16 of a packed word — regression for the decode
+    # sign-extension bug (a bare int32 >>16 turned them negative)
+    dict(height=190, width=190, num_snakes=2, snake_length=2),
 ])
 def test_blob_reset_equals_dense_paint(cfg_kw):
     """SpawnData.blob (host-painted reset grid + cells as LE u16 pairs,
