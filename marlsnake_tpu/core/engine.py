@@ -357,6 +357,83 @@ def make_empty_grid(cfg: T.EnvConfig) -> jnp.ndarray:
 # reset
 # ---------------------------------------------------------------------------
 
+def _procedural_spawn(cfg: T.EnvConfig, k_spawn: jnp.ndarray):
+    """Arithmetic on-device spawn (cfg.spawn_mode == 'procedural').
+
+    Replaces the reference's DFS-enumerate + rejection-resample reset
+    (snake_env.py:576-589) with a structured placement family that needs
+    NO host precomputation and NO per-reset gather: snake i owns the
+    contiguous band of interior rows [1 + i*b, 1 + (i+1)*b) with
+    b = (height-2)//num_snakes, and samples
+      * a row inside its band,
+      * a column start c0 with the whole k-segment wall-free,
+      * a head side (left/right end of the segment)
+    from three uniforms. Segments in distinct rows are disjoint by
+    construction — no rejection loop, which under vmap would run at the
+    max iteration count over the whole batch.
+
+    Returns ``(cell_flat, grid)``: head-first (N, k) flat cells and the
+    fully painted int32 reset grid. The paint is CLOSED-FORM per cell
+    (the band→snake map is a static function of the row index, so the
+    per-row segment parameters expand by a static repeat — no gather):
+    a handful of fused compare/selects over (H, W) instead of the
+    ~(N*k + 2N)-lane one-hot paint or the pool blob's row gather.
+
+    Key schedule (mirrored bit-exactly by the oracle, 'jax' mode):
+    ``u = uniform(k_spawn, (N, 3))``; floor-scaled with the same
+    min-clamp as the pool-row pick.
+    """
+    n, k, h, w = (cfg.num_snakes, cfg.snake_length, cfg.height,
+                  cfg.width)
+    b = (h - 2) // n          # rows per band (>= 1, validated in config)
+    s = w - 1 - k             # of possible column starts (>= 1)
+    u = jax.random.uniform(k_spawn, (n, 3))
+    dr = jnp.minimum((u[:, 0] * b).astype(jnp.int32), b - 1)
+    c0 = 1 + jnp.minimum((u[:, 1] * s).astype(jnp.int32), s - 1)
+    side = u[:, 2] < 0.5      # True -> head at the LEFT end (c0)
+    rows = 1 + jnp.arange(n, dtype=jnp.int32) * b + dr
+    head_col = jnp.where(side, c0, c0 + k - 1)
+    tail_col = jnp.where(side, c0 + k - 1, c0)
+
+    j = jnp.arange(k, dtype=jnp.int32)
+    cols = jnp.where(side[:, None], c0[:, None] + j[None, :],
+                     c0[:, None] + (k - 1) - j[None, :])
+    cell_flat = rows[:, None] * w + cols        # (N, k) head-first
+
+    # closed-form paint: expand per-snake params to per-row vectors by
+    # the STATIC band layout (row 0 border, n*b band rows, leftover +
+    # bottom border never spawn)
+    pad = h - 1 - n * b
+
+    def expand(v, fill):
+        return jnp.concatenate([
+            jnp.full((1,), fill, v.dtype),
+            jnp.repeat(v, b, total_repeat_length=n * b),
+            jnp.full((pad,), fill, v.dtype)])
+
+    row_r = expand(rows, -1)        # (h,): chosen row of this row's band
+    c0_r = expand(c0, 0)
+    hc_r = expand(head_col, -1)
+    tc_r = expand(tail_col, -1)
+    ids = jnp.arange(n, dtype=jnp.int32) << T.OWNER_SHIFT
+    ids_r = expand(ids, 0)
+
+    rr = jnp.arange(h, dtype=jnp.int32)
+    cc = jnp.arange(w, dtype=jnp.int32)[None, :]
+    on_row = (rr == row_r)[:, None]             # (h, 1)
+    in_seg = on_row & (cc >= c0_r[:, None]) & (cc < c0_r[:, None] + k)
+    val = jnp.where(cc == hc_r[:, None], T.HEAD + ids_r[:, None],
+                    jnp.where(cc == tc_r[:, None], T.TAIL + ids_r[:, None],
+                              T.BODY + ids_r[:, None]))
+    grid = jnp.where(in_seg, val, make_empty_grid(cfg))
+    # materialize the painted grid ONCE: without the barrier XLA inlines
+    # the whole paint expression into every consumer fusion (autoreset
+    # select, place_fruits mask/hit, obs encode), re-computing it several
+    # times over
+    grid = jax.lax.optimization_barrier(grid)
+    return cell_flat, grid
+
+
 def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray,
                 spawn_cells=None, fruit_cells=None,
                 _defer_fruits: bool = False):
@@ -386,7 +463,10 @@ def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray,
     k_state = jax.random.fold_in(key, 2)
 
     grid = None
-    if spawn_cells is None:
+    if spawn_cells is None and cfg.spawn_mode == 'procedural':
+        k_spawn = jax.random.fold_in(key, 0)
+        cell_flat, grid = _procedural_spawn(cfg, k_spawn)
+    elif spawn_cells is None:
         k_spawn = jax.random.fold_in(key, 0)
         num_pool = spawn.cells.shape[0]
         u = jax.random.uniform(k_spawn, ())

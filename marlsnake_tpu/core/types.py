@@ -154,6 +154,24 @@ class EnvConfig:
     # per-reset row gather (measured flat 4096 vs 65536 rows at 4096
     # envs), so the default keeps maximal spawn diversity.
     spawn_pool_size: int = 1 << 16
+    # Reset spawn scheme (replaces reference snake_env.py:576-589):
+    #   'pool'       (default) — one precomputed host-enumerated pool row
+    #                fetched per reset by a single gather; samples the
+    #                reference's DFS candidate family (any path shape)
+    #                and is the parity path.
+    #   'procedural' (opt-in) — the combo is derived ARITHMETICALLY on
+    #                device: snake i owns a private horizontal band of
+    #                (height-2)//num_snakes interior rows and samples
+    #                (row-in-band, column start, head side) from its own
+    #                key schedule; disjointness holds by construction and
+    #                the reset grid is painted closed-form per cell, so
+    #                the latency-bound kCustom spawn-row gather leaves
+    #                the program entirely (it was 2.7ms of the 21.1ms
+    #                64-step headline trace). Straight horizontal spawns
+    #                only — a narrower distribution than the reference's
+    #                path family, hence opt-in; mirrored exactly by the
+    #                oracle (oracle.py reset, 'jax' mode).
+    spawn_mode: str = 'pool'
 
     def __post_init__(self):
         if self.map_layout is not None:
@@ -169,6 +187,22 @@ class EnvConfig:
             raise ValueError(f'unknown done_mode {self.done_mode!r}')
         if self.snake_length < 2:
             raise ValueError('snake_length must be >= 2')
+        if self.spawn_mode not in ('pool', 'procedural'):
+            raise ValueError(f'unknown spawn_mode {self.spawn_mode!r}')
+        if self.spawn_mode == 'procedural':
+            if self.map_layout is not None:
+                raise ValueError('procedural spawn supports plain '
+                                 'bordered boards only (no map_layout)')
+            if self.height - 2 < self.num_snakes:
+                raise ValueError(
+                    f'procedural spawn needs >= 1 interior row per '
+                    f'snake: height={self.height} num_snakes='
+                    f'{self.num_snakes}')
+            if self.width - 2 < self.snake_length:
+                raise ValueError(
+                    f'procedural spawn needs snake_length <= width-2: '
+                    f'snake_length={self.snake_length} '
+                    f'width={self.width}')
         if len(self.rewards) != 5:
             raise ValueError('rewards must be a 5-tuple '
                              '(fruit, kill, lose, win, time)')

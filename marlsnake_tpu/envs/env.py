@@ -51,15 +51,22 @@ class SnakeEnv:
                 f'{cfg.num_snakes} snakes of length {cfg.snake_length} '
                 f'cannot fit on a {cfg.height}x{cfg.width} board '
                 f'({interior} interior cells)')
-        self.candidates = spawn_candidates(
-            cfg.height, cfg.width, cfg.snake_length, cfg.map_layout)
-        if self.candidates.shape[0] == 0:
-            raise ValueError('no valid spawn positions for this config')
-        sd = spawn_data(cfg.height, cfg.width, cfg.snake_length,
-                        cfg.num_snakes, pool_size=cfg.spawn_pool_size,
-                        map_layout=cfg.map_layout)
-        self.spawn = SpawnData(jnp.asarray(sd.cells),
-                      None if sd.blob is None else jnp.asarray(sd.blob))
+        if cfg.spawn_mode == 'procedural':
+            # arithmetic on-device spawn: nothing to enumerate on host
+            self.candidates = None
+            self.spawn = None
+        else:
+            self.candidates = spawn_candidates(
+                cfg.height, cfg.width, cfg.snake_length, cfg.map_layout)
+            if self.candidates.shape[0] == 0:
+                raise ValueError(
+                    'no valid spawn positions for this config')
+            sd = spawn_data(cfg.height, cfg.width, cfg.snake_length,
+                            cfg.num_snakes, pool_size=cfg.spawn_pool_size,
+                            map_layout=cfg.map_layout)
+            self.spawn = SpawnData(
+                jnp.asarray(sd.cells),
+                None if sd.blob is None else jnp.asarray(sd.blob))
         self._reset = jax.jit(
             functools.partial(engine.reset, cfg, self.spawn))
         self._step = jax.jit(functools.partial(engine.step, cfg))

@@ -32,11 +32,16 @@ def build_vector_fns(cfg: EnvConfig, autoreset: bool = True):
     ``step_fn(states, actions) -> (states, StepOutput)`` with actions (B, N).
     Both are unjitted so they compose into larger jitted/sharded programs.
     """
-    sd = spawn_data(cfg.height, cfg.width, cfg.snake_length,
-                    cfg.num_snakes, pool_size=cfg.spawn_pool_size,
-                    map_layout=cfg.map_layout)
-    spawn = SpawnData(jnp.asarray(sd.cells),
-                      None if sd.blob is None else jnp.asarray(sd.blob))
+    if cfg.spawn_mode == 'procedural':
+        # arithmetic on-device spawn: no host enumeration, no pool, no
+        # per-reset row gather (engine._procedural_spawn)
+        spawn = None
+    else:
+        sd = spawn_data(cfg.height, cfg.width, cfg.snake_length,
+                        cfg.num_snakes, pool_size=cfg.spawn_pool_size,
+                        map_layout=cfg.map_layout)
+        spawn = SpawnData(jnp.asarray(sd.cells),
+                          None if sd.blob is None else jnp.asarray(sd.blob))
     reset1 = functools.partial(engine.reset, cfg, spawn)
     if autoreset:
         # Fused step+reset with an unconditional per-env select: at batch

@@ -337,6 +337,11 @@ def build_pallas_step(cfg: T.EnvConfig, candidates, pool,
     if cfg.frame_stack != 1 or cfg.vision_range:
         raise NotImplementedError(
             'pallas step covers frame_stack=1, no vision_range')
+    if cfg.spawn_mode != 'pool':
+        raise NotImplementedError(
+            "pallas step covers spawn_mode='pool' (its reset maps "
+            'u -> pool row; see engine._procedural_spawn for the '
+            'arithmetic mode, XLA engine only)')
     if pool.shape[0] != cfg.spawn_pool_size:
         # the kernel maps u -> row = u * pool.shape[0]; a pool built for a
         # different cfg.spawn_pool_size would silently diverge from the

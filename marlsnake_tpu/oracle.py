@@ -89,8 +89,11 @@ class OracleEnv:
         assert rng_mode in ('jax', 'ref')
         self.cfg = cfg
         self.rng_mode = rng_mode
-        self.candidates = spawn_candidates(
-            cfg.height, cfg.width, cfg.snake_length, cfg.map_layout)
+        # procedural spawns are derived arithmetically — no DFS needed
+        self.candidates = (
+            None if (rng_mode == 'jax' and cfg.spawn_mode == 'procedural')
+            else spawn_candidates(cfg.height, cfg.width,
+                                  cfg.snake_length, cfg.map_layout))
         self.snakes: List[_Snake] = []
         self.grid: np.ndarray = None
         self._key = None  # jax mode per-step key
@@ -111,7 +114,29 @@ class OracleEnv:
             from marlsnake_tpu.core.maps import parse_layout
             grid[parse_layout(cfg.map_layout)] = T.WALL
 
-        if self.rng_mode == 'jax':
+        if self.rng_mode == 'jax' and cfg.spawn_mode == 'procedural':
+            import jax
+            assert key is not None
+            k_spawn = jax.random.fold_in(key, 0)
+            k_fruit = jax.random.fold_in(key, 1)
+            self._key = jax.random.fold_in(key, 2)
+            # mirror engine._procedural_spawn bit-exactly: same uniforms,
+            # same float32 floor-scale + min-clamp arithmetic
+            b = (h - 2) // n
+            s = w - 1 - k
+            u = np.asarray(jax.random.uniform(k_spawn, (n, 3)),
+                           dtype=np.float32)
+            chosen = []
+            for i in range(n):
+                dr = min(int(u[i, 0] * np.float32(b)), b - 1)
+                c0 = 1 + min(int(u[i, 1] * np.float32(s)), s - 1)
+                side = bool(u[i, 2] < 0.5)  # head at the LEFT end
+                row = 1 + i * b + dr
+                cols = (range(c0, c0 + k) if side
+                        else range(c0 + k - 1, c0 - 1, -1))
+                chosen.append([(row, c) for c in cols])  # head-first
+            assert self._disjoint(chosen)
+        elif self.rng_mode == 'jax':
             import jax
             from marlsnake_tpu.core.spawn import spawn_pool
             assert key is not None

@@ -43,6 +43,16 @@ CONFIGS = [
               num_fruits=4, rewards=(10.0, 7.0, -3.0, 5.0, -0.01)),
     EnvConfig(height=16, width=16, num_snakes=6, snake_length=3,
               num_fruits=5, rewards=(10.0, 7.0, -3.0, 5.0, -0.01)),
+    # procedural (arithmetic on-device) spawn mode: the oracle mirrors
+    # engine._procedural_spawn's key schedule bit-exactly
+    EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
+              num_fruits=3, spawn_mode='procedural'),
+    EnvConfig(height=10, width=10, num_snakes=2, snake_length=3,
+              num_fruits=2, spawn_mode='procedural'),
+    # bands with leftover rows (h-2=9 rows, 4 snakes -> b=2, 1 unused)
+    # + vision crop on top of procedural spawns
+    EnvConfig(height=11, width=13, num_snakes=4, snake_length=4,
+              num_fruits=2, spawn_mode='procedural', vision_range=3),
 ]
 
 

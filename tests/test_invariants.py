@@ -63,6 +63,8 @@ def check_invariants(cfg, state, t):
               num_fruits=2),
     EnvConfig(height=14, width=14, num_snakes=4, snake_length=4,
               num_fruits=3),
+    EnvConfig(height=14, width=14, num_snakes=4, snake_length=4,
+              num_fruits=3, spawn_mode='procedural'),
 ])
 def test_invariants_random_rollout(cfg):
     env = make_env(cfg)

@@ -174,3 +174,79 @@ def test_many_snakes_skips_blob_and_resets_correctly():
         assert ((t == T.TAIL) & (owner == i)).sum() == 1, i
     assert np.asarray(state.alive).all()
     assert obs.shape == (n, 20, 20, 8)
+
+
+def test_procedural_spawn_validity_and_autoreset():
+    """spawn_mode='procedural': every reset yields in-bounds, disjoint,
+    wall-free horizontal segments with coherent head/tail/ring state; the
+    vectorized autoreset path re-spawns through the same arithmetic."""
+    import jax
+    import jax.numpy as jnp
+    from marlsnake_tpu.core import engine
+    from marlsnake_tpu.core import types as T
+    from marlsnake_tpu.core.types import EnvConfig
+    from marlsnake_tpu.envs.vector import build_vector_fns
+
+    cfg = EnvConfig(height=11, width=12, num_snakes=3, snake_length=4,
+                    num_fruits=2, spawn_mode='procedural')
+    n, k = cfg.num_snakes, cfg.snake_length
+    b = (cfg.height - 2) // n
+
+    reset = jax.jit(lambda key: engine.reset(cfg, None, key))
+    for seed in range(32):
+        state, obs = reset(jax.random.key(seed))
+        grid = np.asarray(state.grid)
+        head = np.asarray(state.head)
+        tail = np.asarray(state.tail)
+        for i in range(n):
+            cells = np.argwhere((T.cell_owner(grid) == i)
+                                & (T.cell_type(grid) >= T.HEAD))
+            assert len(cells) == k, (seed, i)
+            # one horizontal run inside snake i's private band
+            assert (cells[:, 0] == cells[0, 0]).all()
+            assert 1 + i * b <= cells[0, 0] < 1 + (i + 1) * b
+            cs = np.sort(cells[:, 1])
+            assert cs[0] >= 1 and cs[-1] <= cfg.width - 2
+            assert (np.diff(cs) == 1).all()
+            # head/tail at the segment ends
+            assert head[i, 1] in (cs[0], cs[-1])
+            assert tail[i, 1] == (cs[-1] if head[i, 1] == cs[0]
+                                  else cs[0])
+        # fruits placed (with-replacement semantics: duplicates collapse,
+        # reference grid_util.py:126-133)
+        assert 1 <= (T.cell_type(grid) == T.FRUIT).sum() <= 2
+
+    # vectorized autoreset drives many procedural re-spawns
+    reset_fn, step_fn = build_vector_fns(cfg, autoreset=True)
+    e = 16
+    states, _ = reset_fn(jax.random.split(jax.random.key(9), e))
+    rng = np.random.default_rng(9)
+    resets_seen = 0
+    step_j = jax.jit(step_fn)
+    for t in range(120):
+        acts = jnp.asarray(rng.integers(0, 3, size=(e, n)))
+        states, out = step_j(states, acts)
+        resets_seen += int(np.asarray(out.done_all).sum())
+    assert resets_seen > 0
+    # every env's grid must again hold n full snakes (autoreset worked)
+    grids = np.asarray(states.grid)
+    alive = np.asarray(states.alive)
+    for env_i in range(e):
+        for i in range(n):
+            cells = ((T.cell_owner(grids[env_i]) == i)
+                     & (T.cell_type(grids[env_i]) >= T.HEAD)).sum()
+            if alive[env_i, i]:
+                assert cells >= 2
+
+
+def test_procedural_spawn_config_validation():
+    import pytest as _pytest
+    from marlsnake_tpu.core.types import EnvConfig
+    with _pytest.raises(ValueError):
+        EnvConfig(height=5, width=20, num_snakes=4, snake_length=3,
+                  spawn_mode='procedural')  # 3 interior rows < 4 snakes
+    with _pytest.raises(ValueError):
+        EnvConfig(height=20, width=6, num_snakes=2, snake_length=5,
+                  spawn_mode='procedural')  # segment wider than interior
+    with _pytest.raises(ValueError):
+        EnvConfig(spawn_mode='nonsense')

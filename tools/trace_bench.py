@@ -33,7 +33,8 @@ def main():
         layout = load_layout(os.environ['TRACE_MAP'])
     cfg = EnvConfig(height=20, width=20, num_snakes=ns, snake_length=3,
                     vision_range=vision or None, frame_stack=fs,
-                    map_layout=layout)
+                    map_layout=layout,
+                    spawn_mode=os.environ.get('TRACE_SPAWN_MODE', 'pool'))
     init, rollout = build_rollout(cfg, num_envs, num_steps)
     states = init(jax.random.key(0))
     states, r = rollout(states, jax.random.key(1))
