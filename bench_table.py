@@ -41,6 +41,18 @@ CONFIGS = [
      EnvConfig(height=30, width=30, num_snakes=8, snake_length=3,
                frame_stack=4, map_layout=load_layout('30x30_pillars')),
      None),
+    # Packed-obs variants of the HBM-roofline-bound frame-stacked rows:
+    # obs_format='packed' collapses each frame's 8 one-hot channels into
+    # one byte (8x less obs traffic, bit-identical after unpack — see
+    # ops/obs_pack.py). The uint8 rows above keep the reference contract.
+    ('20x20cross_x8_framestack4_packedobs', 4096,
+     EnvConfig(num_snakes=8, snake_length=3, frame_stack=4,
+               map_layout=load_layout('20x20_cross'),
+               obs_format='packed'), None),
+    ('30x30walls_x8_framestack4_packedobs', 4096,
+     EnvConfig(height=30, width=30, num_snakes=8, snake_length=3,
+               frame_stack=4, map_layout=load_layout('30x30_pillars'),
+               obs_format='packed'), None),
     # Big-board scale row: the reference's largest shipped asset
     # (assets/40x40_ml2.txt; ~88k spawn candidates enumerate in ~8ms via
     # the native DFS, tests/test_spawn.py)
@@ -106,8 +118,12 @@ def measure(cfg: EnvConfig, num_envs: int, num_steps: int = 256,
     builder = build_graph_rollout if graph else build_rollout
     init, rollout = builder(cfg, num_envs, num_steps)
     states = init(jax.random.key(0))
-    states, r = rollout(states, jax.random.key(1))
-    r.block_until_ready()
+    # two warmup calls + float() block ends: see bench.py — donation's
+    # steady-state layouts compile on the SECOND call, and over the axon
+    # tunnel only a value fetch is a trustworthy sync
+    for w in range(2):
+        states, r = rollout(states, jax.random.key(1 + 1_000_000 * w))
+        float(r)
     per_block = []
     key = 2
     for _ in range(blocks):
@@ -115,7 +131,7 @@ def measure(cfg: EnvConfig, num_envs: int, num_steps: int = 256,
         for _ in range(iters):
             states, r = rollout(states, jax.random.key(key))
             key += 1
-        r.block_until_ready()
+        float(r)
         per_block.append(
             num_envs * num_steps * iters / (time.perf_counter() - t0))
     per_block.sort()

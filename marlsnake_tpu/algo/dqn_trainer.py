@@ -94,6 +94,13 @@ class DQNConfig:
     # — the pad width is persisted next to every checkpoint
     # (save_checkpoint meta) so such consumers can re-pad to match.
     obs_pad_channels: int = 0
+    # Opt-in bit-packed env observations (EnvConfig.obs_format): the env
+    # emits (H, W, frame_stack) packed bytes instead of the 8x-larger
+    # one-hot planes — the replay buffer shrinks 8x and the rollout's
+    # obs stream leaves the HBM roofline; the net ingress unpacks to the
+    # EXACT uint8 planes (ops/obs_pack.unpack_obs, bit-identical), so
+    # training math is unchanged. Default stays the reference contract.
+    obs_format: str = 'uint8'
     # Opt-in learner pacing (defaults = the reference's 1-update-per-
     # env-step contract, train_dqn.py:228-257).
     #
@@ -139,7 +146,8 @@ class DQNConfig:
         return EnvConfig.from_reward_dict(
             self.reward_dict, height=self.height, width=self.width,
             num_snakes=self.num_snakes, snake_length=self.snake_length,
-            vision_range=self.vision_range, frame_stack=self.frame_stack)
+            vision_range=self.vision_range, frame_stack=self.frame_stack,
+            obs_format=self.obs_format)
 
 
 @struct.dataclass
@@ -200,9 +208,9 @@ class DQNTrainer:
             key = jax.random.key(cfg.seed)
         k_param, key = jax.random.split(key)
         obs_shape = self.env_cfg.obs_shape[1:]  # per-agent (H, W, C)
-        dummy = jnp.zeros(
-            (1,) + obs_shape[:-1]
-            + (obs_shape[-1] + cfg.obs_pad_channels,), jnp.uint8)
+        # init through _prep so the param shapes match the prepped obs
+        # (unpack for packed format, channel pad) exactly
+        dummy = self._prep(jnp.zeros((1,) + obs_shape, jnp.uint8))
         params = self.net.init(k_param, dummy)
         return TrainState(
             params=params,
@@ -217,8 +225,13 @@ class DQNTrainer:
 
     # ------------------------------------------------------------------
     def _prep(self, flat_obs):
-        """Zero-pad obs channels before the net (cfg.obs_pad_channels;
-        exact math — the widened conv1 kernel sees zeros)."""
+        """Net-ingress obs transform: unpack packed bytes to the exact
+        uint8 planes (obs_format='packed'), then zero-pad obs channels
+        (cfg.obs_pad_channels; exact math — the widened conv1 kernel
+        sees zeros)."""
+        if self.config.obs_format == 'packed':
+            from marlsnake_tpu.ops.obs_pack import unpack_obs
+            flat_obs = unpack_obs(flat_obs)
         pad = self.config.obs_pad_channels
         if not pad:
             return flat_obs
@@ -584,8 +597,8 @@ class DQNTrainer:
         # these params on raw engine obs (see obs_pad_channels)
         import json
         with open(path + '.meta.json', 'w') as f:
-            json.dump({'obs_pad_channels': self.config.obs_pad_channels},
-                      f)
+            json.dump({'obs_pad_channels': self.config.obs_pad_channels,
+                       'obs_format': self.config.obs_format}, f)
 
     def load_checkpoint(self, tag, ts: TrainState, full: bool = False):
         template = {

@@ -328,6 +328,31 @@ def encode_frame_cropped(cfg: T.EnvConfig, grid: jnp.ndarray,
     return (env_hit | snake_hit).astype(jnp.uint8)
 
 
+def encode_frame_packed(cfg: T.EnvConfig, grid: jnp.ndarray) -> jnp.ndarray:
+    """Packed-byte observation of one grid, (N, H, W, 1) uint8.
+
+    obs_format='packed': the 8 one-hot channels of :func:`encode_frame`
+    collapse into one byte per cell (bit c = channel c — see
+    ops/obs_pack.py). Computed DIRECTLY from the grid as a per-cell
+    shift (cheaper than the 8-channel one-hot: one select chain instead
+    of an 8-lane broadcast compare), so the encode never materializes
+    the 8x-wider planes at all. Bit-identical to
+    ``obs_pack.pack_frame(encode_frame(...))`` (tested).
+    """
+    n = cfg.num_snakes
+    t = T.cell_type(grid)[None]                 # (1, H, W)
+    owner = T.cell_owner(grid)[None]
+    ids = jnp.arange(n).reshape(n, 1, 1)
+    mine = (owner == ids).astype(jnp.int32)
+    # channel index: 0 wall, 1 fruit, 2..4 other head/body/tail,
+    # 5..7 my head/body/tail
+    shift = jnp.where(t == T.WALL, 0,
+                      jnp.where(t == T.FRUIT, 1,
+                                2 + (t - T.HEAD) + 3 * mine))
+    byte = jnp.where(t > T.EMPTY, (1 << shift), 0).astype(jnp.uint8)
+    return byte[..., None]
+
+
 def stack_to_obs(obs_stack: jnp.ndarray) -> jnp.ndarray:
     """(frame_stack, N, Ho, Wo, 8) -> (N, Ho, Wo, 8*frame_stack).
 
@@ -545,7 +570,7 @@ def _reset_core(cfg: T.EnvConfig, spawn, key: jnp.ndarray,
     alive = jnp.ones((n,), dtype=bool)
 
     zeros_f = jnp.zeros((n,), dtype=jnp.float32)
-    obs_shape = (n, cfg.obs_height, cfg.obs_width, T.FEATURE_CHANNEL)
+    obs_shape = (n, cfg.obs_height, cfg.obs_width, cfg.frame_channels)
     hist_len = (cfg.frame_stack - 1) if _hist_mode(cfg) else 0
     hist_grid = jnp.broadcast_to(grid[None], (hist_len, h, w))
     state = EnvState(
@@ -593,9 +618,17 @@ def _encode_and_stack(cfg: T.EnvConfig, state: EnvState, old_stack,
     already captured by ``state.hist_grid`` (a reset state carries its
     own grid replicated, so history frames equal the fresh frame).
     """
+    packed = cfg.obs_format == 'packed'
     if cfg.vision_range:
         frame = encode_frame_cropped(cfg, state.grid, state.head,
                                      state.alive)
+        if packed:
+            # windows are small — pack the cropped planes (the shift
+            # fuses into the window gather's epilogue)
+            from marlsnake_tpu.ops.obs_pack import pack_frame
+            frame = pack_frame(frame)
+    elif packed:
+        frame = encode_frame_packed(cfg, state.grid)
     else:
         frame = encode_frame(cfg, state.grid)
     if cfg.frame_stack == 1:
@@ -603,7 +636,8 @@ def _encode_and_stack(cfg: T.EnvConfig, state: EnvState, old_stack,
         # (returning a fresh constant would strip its sharding/vma)
         return frame, None
     if _hist_mode(cfg):
-        hists = [encode_frame(cfg, state.hist_grid[i])
+        enc = encode_frame_packed if packed else encode_frame
+        hists = [enc(cfg, state.hist_grid[i])
                  for i in range(cfg.frame_stack - 1)]
         return stack_to_obs(jnp.stack(hists + [frame])), None
     fresh = jnp.broadcast_to(frame[None],

@@ -172,6 +172,18 @@ class EnvConfig:
     #                path family, hence opt-in; mirrored exactly by the
     #                oracle (oracle.py reset, 'jax' mode).
     spawn_mode: str = 'pool'
+    # Observation format:
+    #   'uint8'  (default) — the reference's one-hot channel planes,
+    #            (N, H, W, 8*frame_stack) uint8 (snake_env.py:474-519).
+    #   'packed' (opt-in)  — the 8 one-hot channels of each frame pack
+    #            into ONE byte (bit c = channel c), obs shape
+    #            (N, H, W, frame_stack) uint8: 8x less HBM traffic for
+    #            the same information. The 30x30x8 frame-stack-4 row is
+    #            ROOFLINE-bound on its 944MB/step uint8 obs (round-4
+    #            trace) — packing is the only lever that moves it.
+    #            Unpack with ops.obs_pack.unpack_obs (bit-identical to
+    #            the uint8 planes; equivalence-tested).
+    obs_format: str = 'uint8'
 
     def __post_init__(self):
         if self.map_layout is not None:
@@ -189,6 +201,8 @@ class EnvConfig:
             raise ValueError('snake_length must be >= 2')
         if self.spawn_mode not in ('pool', 'procedural'):
             raise ValueError(f'unknown spawn_mode {self.spawn_mode!r}')
+        if self.obs_format not in ('uint8', 'packed'):
+            raise ValueError(f'unknown obs_format {self.obs_format!r}')
         if self.spawn_mode == 'procedural':
             if self.map_layout is not None:
                 raise ValueError('procedural spawn supports plain '
@@ -245,8 +259,13 @@ class EnvConfig:
             else self.width
 
     @property
+    def frame_channels(self) -> int:
+        """Trailing dim of ONE encoded frame (8, or 1 packed byte)."""
+        return 1 if self.obs_format == 'packed' else FEATURE_CHANNEL
+
+    @property
     def obs_channels(self) -> int:
-        return FEATURE_CHANNEL * self.frame_stack
+        return self.frame_channels * self.frame_stack
 
     @property
     def obs_shape(self) -> Tuple[int, int, int, int]:

@@ -78,6 +78,11 @@ def build_graph_vector_fns(cfg: EnvConfig, autoreset: bool = True):
                                         ray_features_from_grid,
                                         use_grid_rays)
 
+    if cfg.obs_format != 'uint8' and not use_grid_rays(cfg):
+        raise ValueError(
+            "obs_format='packed' needs the grid-rays fast path; the "
+            'fallback ray transform reads uint8 channel planes '
+            '(ops/rays.ray_features)')
     reset_fn, step_fn = build_vector_fns(cfg, autoreset)
 
     if use_grid_rays(cfg):

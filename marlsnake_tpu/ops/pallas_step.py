@@ -337,6 +337,10 @@ def build_pallas_step(cfg: T.EnvConfig, candidates, pool,
     if cfg.frame_stack != 1 or cfg.vision_range:
         raise NotImplementedError(
             'pallas step covers frame_stack=1, no vision_range')
+    if cfg.obs_format != 'uint8':
+        raise NotImplementedError(
+            'pallas step emits the uint8 one-hot obs epilogue only '
+            "(obs_format='packed' is an XLA-engine feature)")
     if cfg.spawn_mode != 'pool':
         raise NotImplementedError(
             "pallas step covers spawn_mode='pool' (its reset maps "

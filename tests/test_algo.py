@@ -373,3 +373,35 @@ def test_dqn_fused_act_update_mode():
     with pytest.raises(ValueError):
         DQNTrainer(DQNConfig(fused_act_update=True, update_every=4,
                              max_steps_per_episode=16))
+
+
+def test_dqn_training_identical_under_packed_obs(tmp_path):
+    """obs_format='packed' changes storage format only: the whole
+    training trajectory (episode metrics, final params) is bit-identical
+    to uint8 mode — the net ingress unpacks to the exact planes."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from marlsnake_tpu.algo.dqn_trainer import DQNConfig, DQNTrainer
+
+    base = DQNConfig(height=10, width=10, num_snakes=2, snake_length=2,
+                     num_envs=2, max_steps_per_episode=8, batch_size=8,
+                     min_buffer_size=8, buffer_size=64,
+                     save_dir=str(tmp_path))
+    results = {}
+    for fmt in ('uint8', 'packed'):
+        tr = DQNTrainer(dataclasses.replace(base, obs_format=fmt))
+        ts = tr.init_state()
+        ms = []
+        for _ in range(3):
+            ts, m = tr._train_episode(ts)
+            ms.append((float(m.mean_loss), float(m.mean_reward),
+                       float(m.episode_length)))
+        results[fmt] = (ms, ts)
+    assert results['uint8'][0] == results['packed'][0]
+    for a, b in zip(jax.tree.leaves(results['uint8'][1].params),
+                    jax.tree.leaves(results['packed'][1].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the packed replay buffer really is 8x narrower
+    assert (results['packed'][1].buffer.obs.shape[1] * 8
+            == results['uint8'][1].buffer.obs.shape[1])

@@ -267,3 +267,88 @@ def test_ray_features_from_grid_equals_obs_form(cfg_kw):
         acts = jnp.asarray(rng.integers(0, 3, size=cfg.num_snakes))
         state, out = engine.step(cfg, state, acts)
         obs = out.obs
+
+
+# --- packed observation format (EnvConfig.obs_format='packed') -----------
+
+def test_pack_unpack_roundtrip():
+    import jax.numpy as jnp
+    from marlsnake_tpu.ops.obs_pack import pack_frame, unpack_obs
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.integers(0, 2, size=(3, 5, 7, 8)),
+                        dtype=jnp.uint8)
+    packed = pack_frame(frame)
+    assert packed.shape == (3, 5, 7, 1) and packed.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(unpack_obs(packed)),
+                                  np.asarray(frame))
+
+
+@pytest.mark.parametrize('cfg_kw', [
+    dict(height=12, width=12, num_snakes=3, snake_length=3, num_fruits=2),
+    # full-obs frame stack: hist-grid re-encode path, packed
+    dict(height=12, width=12, num_snakes=4, snake_length=3, num_fruits=2,
+         frame_stack=4),
+    # vision crop + stored-frame stack, packed
+    dict(height=14, width=14, num_snakes=4, snake_length=3, num_fruits=3,
+         vision_range=3, frame_stack=2),
+    # procedural spawn composes with packed obs
+    dict(height=12, width=12, num_snakes=3, snake_length=3, num_fruits=2,
+         spawn_mode='procedural'),
+])
+def test_packed_obs_bit_identical_to_uint8(cfg_kw):
+    """obs_format='packed' trajectories unpack to EXACTLY the uint8-mode
+    observations, step for step, through autoreset boundaries."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from marlsnake_tpu.core.types import EnvConfig
+    from marlsnake_tpu.envs.vector import build_vector_fns
+    from marlsnake_tpu.ops.obs_pack import unpack_obs
+
+    cfg_u = EnvConfig(**cfg_kw)
+    cfg_p = dataclasses.replace(cfg_u, obs_format='packed')
+    fs = cfg_u.frame_stack
+    ru, su = build_vector_fns(cfg_u, autoreset=True)
+    rp, sp = build_vector_fns(cfg_p, autoreset=True)
+    e = 8
+    keys = jax.random.split(jax.random.key(5), e)
+    st_u, ob_u = ru(keys)
+    st_p, ob_p = rp(keys)
+    assert ob_p.shape == ob_u.shape[:-1] + (fs,)
+    np.testing.assert_array_equal(np.asarray(unpack_obs(ob_p)),
+                                  np.asarray(ob_u))
+    su_j, sp_j = jax.jit(su), jax.jit(sp)
+    rng = np.random.default_rng(5)
+    boundaries = 0
+    for t in range(80):
+        acts = jnp.asarray(rng.integers(
+            0, 3, size=(e, cfg_u.num_snakes)))
+        st_u, out_u = su_j(st_u, acts)
+        st_p, out_p = sp_j(st_p, acts)
+        np.testing.assert_array_equal(
+            np.asarray(unpack_obs(out_p.obs)), np.asarray(out_u.obs),
+            err_msg=f'packed obs diverged at t={t}')
+        np.testing.assert_array_equal(np.asarray(out_p.reward),
+                                      np.asarray(out_u.reward))
+        boundaries += int(np.asarray(out_u.done_all).sum())
+    assert boundaries > 0  # autoreset actually exercised
+
+
+def test_encode_frame_packed_equals_packed_encode_frame():
+    from marlsnake_tpu.core import engine
+    from marlsnake_tpu.core.types import EnvConfig
+    from marlsnake_tpu.ops.obs_pack import pack_frame
+    cfg = EnvConfig(height=10, width=10, num_snakes=2, snake_length=3)
+    # random grids over every cell value the engine can produce
+    rng = np.random.default_rng(1)
+    import jax.numpy as jnp
+    from marlsnake_tpu.core import types as T
+    vals = [T.EMPTY, T.WALL, T.FRUIT]
+    for i in range(cfg.num_snakes):
+        vals += [T.HEAD + (i << T.OWNER_SHIFT),
+                 T.BODY + (i << T.OWNER_SHIFT),
+                 T.TAIL + (i << T.OWNER_SHIFT)]
+    grid = jnp.asarray(rng.choice(vals, size=(10, 10)), dtype=jnp.int32)
+    a = engine.encode_frame_packed(cfg, grid)
+    b = pack_frame(engine.encode_frame(cfg, grid))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
