@@ -63,11 +63,18 @@ CONFIGS = [
      EnvConfig(height=10, width=10, num_snakes=1, snake_length=3), 616.0),
 ]
 
-# GraphSnakeEnv row: batched 5-ray distance features instead of grid obs
+# GraphSnakeEnv rows: batched 5-ray distance features instead of grid obs
 # (reference envs/graph_snake_env.py; fixed-shape rays in ops/rays.py).
-GRAPH_CONFIG = ('20x20x4_graph', 4096,
-                EnvConfig(height=20, width=20, num_snakes=4,
-                          snake_length=3))
+# The frame_stack=2 row rides the same packed-grid byte-select over the
+# raw-grid history carry (round 5) — previously it fell back to the
+# 293k-steps/s fancy-indexing form.
+GRAPH_CONFIGS = [
+    ('20x20x4_graph', 4096,
+     EnvConfig(height=20, width=20, num_snakes=4, snake_length=3)),
+    ('20x20x4_graph_framestack2', 4096,
+     EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
+               frame_stack=2)),
+]
 
 # Launch-bound rows (tiny per-step device time) get LONGER scan blocks so
 # host/tunnel dispatch amortizes: the 10x10 row had shown 30-44M
@@ -264,12 +271,12 @@ def main():
         }
         rows.append(row)
         print(json.dumps(row))
-    gtag, genvs, gcfg = GRAPH_CONFIG
-    m = measure(gcfg, genvs, graph=True)
-    row = {'config': gtag, 'num_envs': genvs, **m,
-           'reference_steps_per_sec': None, 'vs_reference': None}
-    rows.append(row)
-    print(json.dumps(row))
+    for gtag, genvs, gcfg in GRAPH_CONFIGS:
+        m = measure(gcfg, genvs, graph=True)
+        row = {'config': gtag, 'num_envs': genvs, **m,
+               'reference_steps_per_sec': None, 'vs_reference': None}
+        rows.append(row)
+        print(json.dumps(row))
     # policy-in-the-loop: greedy DQN forward for all 4096*4 agents
     # fused into the same jitted rollout (the actor loop of eval/training)
     acting_cfg = EnvConfig(height=20, width=20, num_snakes=4,

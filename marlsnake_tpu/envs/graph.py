@@ -37,12 +37,13 @@ class GraphSnakeEnv(SnakeEnv):
         self._step_g = jax.jit(functools.partial(self._step_impl))
 
     def _rays(self, state, obs):
-        # frame_stack=1: derive rays from the grid (exact; kills the
-        # TPU-hostile obs dynamic-gather — see ops/rays.py)
+        # derive rays from the carried grid(s) where possible (exact;
+        # kills the TPU-hostile obs dynamic-gather — see ops/rays.py);
+        # covers frame_stack > 1 via the raw-grid history carry
         if use_grid_rays(self.cfg):
             return ray_features_from_grid(
                 self.cfg, state.grid, state.head, state.direction,
-                state.alive)
+                state.alive, state.hist_grid)
         return ray_features(self.cfg, obs, state.head, state.direction,
                             state.alive)
 

@@ -91,12 +91,13 @@ def build_graph_vector_fns(cfg: EnvConfig, autoreset: bool = True):
         def reset_g(keys):
             states, _ = reset_fn(keys)
             return states, grays(states.grid, states.head,
-                                 states.direction, states.alive)
+                                 states.direction, states.alive,
+                                 states.hist_grid)
 
         def step_g(states, actions):
             states, out = step_fn(states, actions)
             proc = grays(states.grid, states.head, states.direction,
-                         states.alive)
+                         states.alive, states.hist_grid)
             return states, out.replace(obs=proc)
 
         return reset_g, step_g

@@ -71,30 +71,75 @@ def ray_features(cfg: T.EnvConfig, obs: jnp.ndarray, head: jnp.ndarray,
 
 def use_grid_rays(cfg: T.EnvConfig) -> bool:
     """True when :func:`ray_features_from_grid` applies (obs is a pure
-    function of the current grid and packed cells fit a byte)."""
-    return cfg.frame_stack == 1 and cfg.num_snakes <= 16
+    function of the carried grid(s) and packed cells fit a byte).
+
+    frame_stack > 1 is covered for FULL-OBS configs: the engine carries
+    the fs-1 past grids (``engine._hist_mode``), so every stacked frame
+    re-derives by the same byte-select. Vision configs with stacking
+    carry encoded windows, not grids — those fall back."""
+    if cfg.num_snakes > 16:
+        return False
+    return cfg.frame_stack == 1 or not cfg.vision_range
+
+
+def _byte_select_cells(h, w, grid, rr, cc):
+    """One-hot byte-select of cells (rr, cc) from the u32-packed word
+    plane of ``grid`` (the vision-window trick,
+    engine.encode_frame_cropped); out-of-bounds -> 0 (EMPTY)."""
+    wp = -(-w // 4)
+    gpad = jnp.pad(grid, ((0, 0), (0, wp * 4 - w))).astype(jnp.int32)
+    words = sum(gpad[:, i::4] << (8 * i) for i in range(4))  # (H, wp)
+    fidx = rr * wp + (cc >> 2)                               # word index
+    inb = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+    fidx = jnp.where(inb, fidx, -1)
+    sel = fidx[..., None] == jnp.arange(h * wp)              # (N,5,v,HW/4)
+    word = jnp.where(sel, words.reshape(-1), 0).sum(-1)
+    return (word >> ((cc & 3) * 8)) & 0xFF                   # (N, 5, v)
+
+
+def _encode_ray_vals(n, cell):
+    """Channel-encode selected cells in place (engine.encode_frame
+    formula) -> (N, 5, v, 8) float32."""
+    t = T.cell_type(cell)
+    owner = T.cell_owner(cell)
+    ids = jnp.arange(n).reshape(n, 1, 1, 1)
+    tt = t[..., None]
+    mine = owner[..., None] == ids
+    c = jnp.arange(T.FEATURE_CHANNEL).reshape(1, 1, 1, -1)
+    env_hit = (c <= 1) & (tt == c + 1)
+    snake_part = (tt >= T.HEAD) & ((c - 2) % 3 == tt - T.HEAD)
+    snake_hit = snake_part & ((c >= 5) == mine) & (c >= 2)
+    return (env_hit | snake_hit).astype(jnp.float32)
 
 
 def ray_features_from_grid(cfg: T.EnvConfig, grid: jnp.ndarray,
                            head: jnp.ndarray, direction: jnp.ndarray,
-                           alive: jnp.ndarray) -> jnp.ndarray:
-    """Bit-identical to ``ray_features`` over the encoded obs for
-    ``frame_stack == 1`` — derived straight from the GRID.
+                           alive: jnp.ndarray,
+                           hist_grid: jnp.ndarray = None) -> jnp.ndarray:
+    """Bit-identical to ``ray_features`` over the encoded obs — derived
+    straight from the carried GRID(s).
 
     The obs-indexing form lowers to a serialized kCustom dynamic gather
     on TPU (the graph rollout measured 293k env-steps/s, ~40x below the
     grid rollout, with that gather dominating). Here the ~25 ray cells
     are one-hot byte-selected from the u32-packed grid plane (the
     vision-window trick, engine.encode_frame_cropped) and
-    channel-encoded in place; the (N, H, W, 8) obs is never read, so
+    channel-encoded in place; the (N, H, W, 8*fs) obs is never read, so
     the graph env's obs encode is dead-code-eliminated entirely.
-    Obs is a pure function of the grid for frame_stack=1 (both the full
-    frame and the cropped window), so equality is exact — proven per
-    config in tests/test_ops.py. Requires num_snakes <= 16 (packed
+
+    ``frame_stack > 1`` (full-obs): ``hist_grid`` is the engine's
+    carried (fs-1, H, W) raw-grid history (oldest first,
+    engine._roll_hist) — every stacked frame byte-selects the SAME ray
+    cells from its own grid and the channel blocks concatenate
+    frame-major, exactly like engine.stack_to_obs. The wall-stop test
+    reads the stacked obs' channel 0 (= the OLDEST frame's wall plane,
+    the literal ``ray_features`` formula); walls are static within an
+    episode and a reset state's history replicates its own grid, so
+    this matches every frame's walls. Requires num_snakes <= 16 (packed
     cells must fit a byte); callers fall back to ``ray_features``
-    otherwise or when frame_stack > 1 (stacked obs put the OLDEST
-    frame's wall plane in channel 0, which the current grid cannot
-    reproduce).
+    otherwise or for vision configs with stacking (their carry holds
+    encoded windows, not grids). Equality proven per config in
+    tests/test_ops.py.
     """
     n = cfg.num_snakes
     h, w = cfg.height, cfg.width
@@ -124,30 +169,17 @@ def ray_features_from_grid(cfg: T.EnvConfig, grid: jnp.ndarray,
         rr = jnp.clip(head[:, 0, None, None] + off[..., 0], 0, h - 1)
         cc = jnp.clip(head[:, 1, None, None] + off[..., 1], 0, w - 1)
 
-    # byte-select the ray cells from the u32-packed word plane
-    wp = -(-w // 4)
-    gpad = jnp.pad(grid, ((0, 0), (0, wp * 4 - w))).astype(jnp.int32)
-    words = sum(gpad[:, i::4] << (8 * i) for i in range(4))  # (H, wp)
-    fidx = rr * wp + (cc >> 2)                               # word index
-    inb = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
-    fidx = jnp.where(inb, fidx, -1)
-    sel = fidx[..., None] == jnp.arange(h * wp)              # (N,5,v,HW/4)
-    word = jnp.where(sel, words.reshape(-1), 0).sum(-1)
-    cell = (word >> ((cc & 3) * 8)) & 0xFF                   # (N, 5, v)
+    frames = []
+    if cfg.frame_stack > 1:
+        for i in range(cfg.frame_stack - 1):
+            frames.append(hist_grid[i])
+    frames.append(grid)
+    cells = [_byte_select_cells(h, w, g, rr, cc) for g in frames]
+    vals = jnp.concatenate([_encode_ray_vals(n, c) for c in cells],
+                           axis=-1)                 # (N, 5, v, 8*fs)
 
-    # channel encode in place (engine.encode_frame formula)
-    t = T.cell_type(cell)
-    owner = T.cell_owner(cell)
-    ids = jnp.arange(n).reshape(n, 1, 1, 1)
-    tt = t[..., None]
-    mine = owner[..., None] == ids
-    c = jnp.arange(T.FEATURE_CHANNEL).reshape(1, 1, 1, -1)
-    env_hit = (c <= 1) & (tt == c + 1)
-    snake_part = (tt >= T.HEAD) & ((c - 2) % 3 == tt - T.HEAD)
-    snake_hit = snake_part & ((c >= 5) == mine) & (c >= 2)
-    vals = (env_hit | snake_hit).astype(jnp.float32)         # (N,5,v,8)
-
-    wall_hit = t == T.WALL
+    # wall-stop gate: channel 0 of the stacked obs = OLDEST frame's wall
+    wall_hit = T.cell_type(cells[0]) == T.WALL
     prior_wall = (jnp.cumsum(wall_hit, axis=-1) - wall_hit) > 0
     include = (~prior_wall).astype(jnp.float32)
     inv = 1.0 / steps.astype(jnp.float32)

@@ -238,22 +238,34 @@ def test_packed_ring_roundtrip_across_word_boundaries():
          vision_range=4),
     dict(height=20, width=20, num_snakes=4, snake_length=3,
          vision_range=5),
+    # frame_stack > 1 (full obs): rays over the raw-grid history carry —
+    # every stacked frame byte-selects its own grid, frame-major concat
+    dict(height=12, width=12, num_snakes=4, snake_length=3,
+         frame_stack=3),
+    dict(height=14, width=14, num_snakes=2, snake_length=3,
+         frame_stack=2, map_layout='cross20'),
 ])
 def test_ray_features_from_grid_equals_obs_form(cfg_kw):
     """ray_features_from_grid == ray_features over the encoded obs,
-    exactly, on real rollout states (obs is a pure function of the grid
-    for frame_stack=1; the grid form byte-selects packed words and must
-    reproduce window clipping, zero-padded out-of-grid cells, and dead
-    snakes)."""
+    exactly, on real rollout states (obs is a pure function of the
+    carried grid(s); the grid form byte-selects packed words and must
+    reproduce window clipping, zero-padded out-of-grid cells, dead
+    snakes, and — for frame_stack > 1 — the stacked history frames)."""
     import numpy as np
     from marlsnake_tpu.core import engine
     from marlsnake_tpu.core.spawn import SpawnData, spawn_data
     from marlsnake_tpu.core.types import EnvConfig
     from marlsnake_tpu.ops.rays import ray_features, ray_features_from_grid
 
-    cfg = EnvConfig(**cfg_kw)
+    kw = dict(cfg_kw)
+    if kw.pop('map_layout', None):
+        from marlsnake_tpu.core.maps import load_layout
+        kw['map_layout'] = load_layout('20x20_cross')
+        kw.pop('height'), kw.pop('width')
+    cfg = EnvConfig(**kw)
     sd = spawn_data(cfg.height, cfg.width, cfg.snake_length,
-                    cfg.num_snakes, pool_size=256)
+                    cfg.num_snakes, pool_size=256,
+                    map_layout=cfg.map_layout)
     spawn = SpawnData(jnp.asarray(sd.cells),
                       None if sd.blob is None else jnp.asarray(sd.blob))
     rng = np.random.default_rng(1)
@@ -262,7 +274,8 @@ def test_ray_features_from_grid_equals_obs_form(cfg_kw):
         a = ray_features(cfg, obs, state.head, state.direction,
                          state.alive)
         b = ray_features_from_grid(cfg, state.grid, state.head,
-                                   state.direction, state.alive)
+                                   state.direction, state.alive,
+                                   state.hist_grid)
         assert np.array_equal(np.asarray(a), np.asarray(b)), t
         acts = jnp.asarray(rng.integers(0, 3, size=cfg.num_snakes))
         state, out = engine.step(cfg, state, acts)
