@@ -101,6 +101,22 @@ class DQNConfig:
     # EXACT uint8 planes (ops/obs_pack.unpack_obs, bit-identical), so
     # training math is unchanged. Default stays the reference contract.
     obs_format: str = 'uint8'
+    # Re-encode the acting forward's observation from the carried env
+    # GRID at policy ingress instead of reading the carried obs (the
+    # bench acting row's round-4 win, NEXT_STEPS.md): bit-identical for
+    # full-obs frame_stack=1 uint8 configs (obs is a pure function of
+    # the grid and the trainer's carry keeps them in lockstep;
+    # tests/test_algo.py proves trajectory equality).
+    #
+    # MEASURED AND REFUTED inside the trainer (round 5, real chip,
+    # bf16+pad16 acting knobs, artifacts/LEARNER_CHUNK.json): 0.98x at
+    # e=32 (385.7 -> 392.8 ms/episode), 0.98x at e=256, 0.92x at
+    # e=2048. Unlike the bench acting row — where dropping obs from the
+    # scan carry DCE'd the env's own encode (268k -> 327k) — the
+    # trainer MUST keep obs in the carry for the replay push, so the
+    # re-encode is pure extra compute and only the pad copy could have
+    # been saved. Kept opt-in as the recorded experiment; default off.
+    reencode_acting_obs: Optional[bool] = None
     # Opt-in learner pacing (defaults = the reference's 1-update-per-
     # env-step contract, train_dqn.py:228-257).
     #
@@ -238,6 +254,26 @@ class DQNTrainer:
         return jnp.pad(flat_obs,
                        [(0, 0)] * (flat_obs.ndim - 1) + [(0, pad)])
 
+    def _acting_exact(self) -> bool:
+        """True when re-encoding the acting obs from the grid is
+        bit-identical to the carried obs (see reencode_acting_obs)."""
+        cfg = self.config
+        return (cfg.frame_stack == 1 and not cfg.vision_range
+                and cfg.obs_format == 'uint8')
+
+    def _acting_obs(self, env_states, obs):
+        on = self.config.reencode_acting_obs
+        if not on:  # None (auto) = off: measured a loss at every scale
+            return obs
+        if not self._acting_exact():
+            raise ValueError(
+                'reencode_acting_obs requires full-obs frame_stack=1 '
+                "uint8 configs (obs must be a pure function of the grid)")
+        from marlsnake_tpu.core import engine
+        return jax.vmap(
+            lambda g: engine.encode_frame(self.env_cfg, g))(
+                env_states.grid)
+
     def _select_actions(self, params, obs, dones, eps, key):
         """Batched epsilon-greedy for (E, N) agents in one forward pass."""
         e, n = obs.shape[:2]
@@ -330,8 +366,9 @@ class DQNTrainer:
             (env_states, obs, dones, buffer, params, opt_state, key,
              ep_rew, loss_sum, loss_cnt, step, frozen) = carry
             key, k_act, k_sample = jax.random.split(key, 3)
-            actions = self._select_actions(params, obs, dones,
-                                           ts.epsilon, k_act)
+            actions = self._select_actions(
+                params, self._acting_obs(env_states, obs), dones,
+                ts.epsilon, k_act)
             carry = (env_states, obs, dones, buffer, params, opt_state,
                      key, ep_rew, loss_sum, loss_cnt, step, frozen)
             return advance(carry, actions), k_sample

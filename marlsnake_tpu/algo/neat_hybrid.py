@@ -193,7 +193,7 @@ class HybridNEATTrainer:
                  neat_cfg: Optional[NeatConfig] = None,
                  episode_steps: int = 512,
                  result_file: str = 'hybrid_neat_best.pkl',
-                 seed: int = 0):
+                 seed: int = 0, fitness_episodes: int = 1):
         self.env_cfg = env_cfg or EnvConfig.from_reward_dict(
             DEFAULT_REWARD, height=20, width=20, num_snakes=4,
             snake_length=5)
@@ -202,6 +202,15 @@ class HybridNEATTrainer:
         self.episode_steps = episode_steps
         self.result_file = result_file
         self.seed = seed
+        # K > 1: fitness = mean over K episodes with COMMON RANDOM
+        # NUMBERS — every genome plays the SAME K env draws, so
+        # between-genome comparisons are paired and selection noise is
+        # the paired difference's, not single-episode fitness noise
+        # (round-4 flagship: champion re-scores fluctuated 99-214 with
+        # per-genome keys, ~2x the between-genome signal — VERDICT r4
+        # item 6). Reference scale: one episode per genome
+        # (train_ga.py:224-257).
+        self.fitness_episodes = fitness_episodes
         self._tick = 0  # per-instance generation counter (rollout keys)
         self.dqn_params = dqn_params
         self.net = DQN(num_actions=self.env_cfg.num_actions,
@@ -280,13 +289,20 @@ class HybridNEATTrainer:
         import numpy as np
         pop = len(genomes)
         batch = PaddedNetBatch([g for _, g in genomes], cfg)
-        keys = jax.random.split(
-            jax.random.fold_in(jax.random.key(self.seed), self._gen_tick()),
-            pop)
-        states, obs = self._reset_jit(keys)
+        gen_key = jax.random.fold_in(jax.random.key(self.seed),
+                                     self._gen_tick())
         run = self._episode_runner(batch.m, batch.num_sweeps)
-        returns = np.asarray(run(self.dqn_params, *batch.tensors,
-                                 states, obs))
+        # K episodes, each with ONE key broadcast across the whole
+        # population (common random numbers): genome i's env in episode
+        # j sees exactly the draws genome i' does
+        ep_rets = []
+        for j in range(self.fitness_episodes):
+            k_ep = jax.random.fold_in(gen_key, j)
+            keys = jnp.broadcast_to(k_ep[None], (pop,))
+            states, obs = self._reset_jit(keys)
+            ep_rets.append(np.asarray(run(self.dqn_params,
+                                          *batch.tensors, states, obs)))
+        returns = np.stack(ep_rets).mean(0)  # (pop, n)
 
         for (gid, genome), ret in zip(genomes, returns):
             genome.fitness = float(ret.mean())

@@ -100,6 +100,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument('--save-dir', type=str, default='checkpoints')
     g.add_argument('--generations', type=int, default=50)
     g.add_argument('--pop-size', type=int, default=100)
+    g.add_argument('--fitness-episodes', type=int, default=4,
+                   help='episodes per genome, common random numbers '
+                        'across the population (1 = reference scale)')
     g.add_argument('--result-file', type=str,
                    default='hybrid_neat_best.pkl')
 
@@ -275,8 +278,9 @@ def main(argv=None):
         neat_cfg = NeatConfig(num_inputs=128, num_outputs=3,
                               pop_size=args.pop_size)
         HybridNEATTrainer(ts.params, env_cfg=env_cfg, neat_cfg=neat_cfg,
-                          result_file=args.result_file,
-                          seed=args.seed).run(args.generations)
+                          result_file=args.result_file, seed=args.seed,
+                          fitness_episodes=args.fitness_episodes
+                          ).run(args.generations)
 
     elif args.mode == 'demo':
         from marlsnake_tpu.envs.wrappers import make_snake

@@ -225,6 +225,35 @@ class VectorAdapter:
                 np.asarray(out.done),
                 {'done_all': np.asarray(out.done_all)})
 
+    # --- gym.vector-shaped split-call protocol ------------------------
+    # API parity with AsyncVectorEnv's step_async/step_wait
+    # (reference wrappers.py:126-194). Dispatch IS asynchronous here:
+    # the jitted step is enqueued on the device at step_async and JAX
+    # only blocks when step_wait converts the results to numpy — the
+    # same overlap the reference bought with fork workers, without the
+    # process pipes.
+    def reset_async(self, **kwargs):
+        self._key, sub = jax.random.split(self._key)
+        self._states, self._pending_obs = self.venv.reset(sub)
+
+    def reset_wait(self, **kwargs) -> np.ndarray:
+        obs = np.asarray(self._pending_obs)
+        self._pending_obs = None
+        return obs
+
+    def step_async(self, actions):
+        acts = np.asarray(actions).reshape(self.num_envs,
+                                           self.num_snakes)
+        self._states, self._pending_out = self.venv.step(
+            self._states, acts)
+
+    def step_wait(self, **kwargs):
+        out = self._pending_out
+        self._pending_out = None
+        return (np.asarray(out.obs), np.asarray(out.reward),
+                np.asarray(out.done),
+                {'done_all': np.asarray(out.done_all)})
+
     def render(self, mode: str = 'rgb_array'):
         grids = np.asarray(self._states.grid)
         return [R.rgb_from_grid(g) for g in grids]

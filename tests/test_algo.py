@@ -405,3 +405,64 @@ def test_dqn_training_identical_under_packed_obs(tmp_path):
     # and the packed replay buffer really is 8x narrower
     assert (results['packed'][1].buffer.obs.shape[1] * 8
             == results['uint8'][1].buffer.obs.shape[1])
+
+
+def test_dqn_reencode_acting_obs_bit_identical(tmp_path):
+    """reencode_acting_obs derives the acting forward's input from the
+    carried grid — bit-identical trajectories (obs is a pure function of
+    the grid for full-obs fs=1, and the trainer keeps grid/obs in
+    lockstep through freezes)."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from marlsnake_tpu.algo.dqn_trainer import DQNConfig, DQNTrainer
+
+    base = DQNConfig(height=10, width=10, num_snakes=2, snake_length=2,
+                     num_envs=4, max_steps_per_episode=12, batch_size=8,
+                     min_buffer_size=8, buffer_size=128,
+                     obs_pad_channels=8, save_dir=str(tmp_path))
+    outs = {}
+    for on in (False, True):
+        tr = DQNTrainer(dataclasses.replace(
+            base, reencode_acting_obs=on))
+        ts = tr.init_state()
+        ms = []
+        for _ in range(3):
+            ts, m = tr._train_episode(ts)
+            ms.append((float(m.mean_loss), float(m.mean_reward),
+                       float(m.episode_length)))
+        outs[on] = (ms, ts)
+    assert outs[False][0] == outs[True][0]
+    for a, b in zip(jax.tree.leaves(outs[False][1].params),
+                    jax.tree.leaves(outs[True][1].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_neat_fitness_common_random_numbers():
+    """fitness_episodes=K evaluates every genome on the SAME K env keys
+    (paired comparisons): two trainers differing only in K produce
+    fitness; identical genomes (clones) must score identically within a
+    generation (they play identical draws)."""
+    import jax
+    from marlsnake_tpu.algo.dqn_trainer import DQNConfig, DQNTrainer
+    from marlsnake_tpu.algo.neat import NeatConfig
+    from marlsnake_tpu.algo.neat_hybrid import (HybridNEATTrainer,
+                                                fc3_to_genome)
+    from marlsnake_tpu.core.types import EnvConfig
+
+    env_cfg = EnvConfig(height=10, width=10, num_snakes=2,
+                        snake_length=3)
+    dtr = DQNTrainer(DQNConfig(height=10, width=10, num_snakes=2,
+                               snake_length=3))
+    params = dtr.init_state(jax.random.key(1)).params
+    neat_cfg = NeatConfig(num_inputs=128, num_outputs=3, pop_size=4)
+    tr = HybridNEATTrainer(params, env_cfg=env_cfg, neat_cfg=neat_cfg,
+                           episode_steps=32, fitness_episodes=3,
+                           result_file='/tmp/neat_crn_test.pkl')
+    g = fc3_to_genome(params, neat_cfg)
+    import copy
+    genomes = [(i, copy.deepcopy(g)) for i in range(4)]
+    tr.eval_genomes(genomes, neat_cfg)
+    fits = [gn.fitness for _, gn in genomes]
+    # identical genomes + common random numbers -> identical fitness
+    assert len(set(fits)) == 1, fits

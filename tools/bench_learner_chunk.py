@@ -23,13 +23,17 @@ from marlsnake_tpu.algo.dqn_trainer import DQNConfig, DQNTrainer
 
 
 def measure(num_envs, update_every=1, update_batch_size=None, episodes=3,
-            fused=False):
+            fused=False, pad=0, reencode=None):
+    import jax.numpy as jnp
     cfg = DQNConfig(height=20, width=20, num_snakes=4, snake_length=3,
                     num_envs=num_envs, max_steps_per_episode=256,
                     batch_size=512, min_buffer_size=512 * 3,
                     buffer_size=10_000, update_every=update_every,
                     update_batch_size=update_batch_size,
-                    fused_act_update=fused)
+                    fused_act_update=fused,
+                    obs_pad_channels=pad,
+                    compute_dtype=jnp.bfloat16 if pad else jnp.float32,
+                    reencode_acting_obs=reencode)
     tr = DQNTrainer(cfg)
     ts = tr.init_state()
     ts, m = tr._train_episode(ts)   # compile + buffer warm
@@ -44,7 +48,8 @@ def measure(num_envs, update_every=1, update_batch_size=None, episodes=3,
                 episode_ms=round(dt * 1e3, 1),
                 env_steps_per_s=round(num_envs
                                       * cfg.max_steps_per_episode / dt),
-                updates=int(m.updates), fused=fused)
+                updates=int(m.updates), fused=fused,
+                obs_pad_channels=pad, reencode_acting_obs=reencode)
 
 
 if __name__ == '__main__':
@@ -56,6 +61,15 @@ if __name__ == '__main__':
             r = measure(e, every, ubs, fused=fused)
             if base is None:
                 base = r['episode_ms']
+            r['speedup_vs_reference_contract'] = round(
+                base / r['episode_ms'], 2)
+            rows.append(r)
+            print(json.dumps(r), flush=True)
+        # acting-path re-encode (VERDICT r4 item 8): bf16 + pad16 acting
+        # knobs, carried-obs pad copy vs grid re-encode at ingress
+        # (bit-identical; tests/test_algo.py)
+        for reenc in (False, True):
+            r = measure(e, 1, None, pad=8, reencode=reenc)
             r['speedup_vs_reference_contract'] = round(
                 base / r['episode_ms'], 2)
             rows.append(r)

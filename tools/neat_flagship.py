@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     generations = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     pop_size = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    # K fitness episodes with common random numbers (round 5): paired
+    # comparisons shrink selection noise ~sqrt(K) AND remove the
+    # env-draw luck term entirely (all genomes play the same K draws)
+    fit_eps = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     from marlsnake_tpu.algo.dqn_trainer import DQNConfig, DQNTrainer
@@ -40,6 +44,7 @@ def main():
                           pop_size=pop_size)
     trainer = HybridNEATTrainer(
         ts.params, neat_cfg=neat_cfg, episode_steps=512,
+        fitness_episodes=fit_eps,
         result_file=os.path.join(root,
                                  'artifacts/hybrid_neat_20x20_full.pkl'))
 
