@@ -26,9 +26,20 @@ from marlsnake_tpu.core.types import EnvConfig
 CONFIGS = [
     ('20x20x4_full_obs', 4096,
      EnvConfig(height=20, width=20, num_snakes=4, snake_length=3), 783.0),
+    ('20x20x4_full_obs_procedural', 4096,
+     EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
+               spawn_mode='procedural'), 783.0),
     ('20x20x4_vision5', 4096,
      EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
                vision_range=5), 596.0),
+    # vision5 with the opt-in arithmetic reset (round 5): the spawn-row
+    # gather leaves the program — VERDICT r4's vision5 >= 9.8M ask lands
+    # here (the place_fruits fragments themselves are shared with the
+    # full-obs program; the vision-unique residual is the two window
+    # passes + ~2.5ms of obs layout copies, trace tools/trace_bench.py)
+    ('20x20x4_vision5_procedural', 4096,
+     EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
+               vision_range=5, spawn_mode='procedural'), None),
     ('20x20x4_vision5_framestack2', 4096,
      EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
                vision_range=5, frame_stack=2), None),

@@ -36,12 +36,80 @@ DEFAULT_REWARD = {'fruit': 10.0, 'kill': 0.0, 'lose': -20.0, 'win': 0.0,
                   'time': -0.03}  # train_ga.py:266-273
 
 
+def _genome_to_dict(g: Genome) -> dict:
+    return {
+        'key': int(g.key),
+        'fitness': None if g.fitness is None else float(g.fitness),
+        'nodes': [[int(k), float(n.bias), n.activation,
+                   float(n.response)] for k, n in g.nodes.items()],
+        'connections': [[int(i), int(o), float(c.weight),
+                         bool(c.enabled)]
+                        for (i, o), c in g.connections.items()],
+    }
+
+
+def _genome_from_dict(d: dict) -> Genome:
+    from marlsnake_tpu.algo.neat import ConnGene, NodeGene
+    g = Genome(int(d['key']))
+    g.fitness = d['fitness']
+    for k, bias, act, resp in d['nodes']:
+        g.nodes[int(k)] = NodeGene(float(bias), str(act), float(resp))
+    for i, o, wgt, en in d['connections']:
+        g.connections[(int(i), int(o))] = ConnGene(float(wgt), bool(en))
+    return g
+
+
 def save_checkpoint_safe(data, filename: str):
-    """Atomic pickle write (train_ga.py:45-57)."""
+    """Atomic hybrid-checkpoint write (train_ga.py:45-57).
+
+    A ``.msgpack`` filename selects the PICKLE-FREE format (ADVICE r4:
+    consumers should not need unsafe ``pickle.load``): the genome and
+    NeatConfig flatten to plain lists/dicts and the whole payload is one
+    flax msgpack blob. Any other extension keeps the reference's pickle
+    layout for drop-in compatibility."""
     tmp = filename + '.tmp'
-    with open(tmp, 'wb') as f:
-        pickle.dump(data, f)
+    if filename.endswith('.msgpack'):
+        import dataclasses as _dc
+        from flax import serialization
+
+        def detuple(x):  # msgpack cannot pack tuples
+            if isinstance(x, tuple):
+                return [detuple(v) for v in x]
+            if isinstance(x, list):
+                return [detuple(v) for v in x]
+            if isinstance(x, dict):
+                return {k: detuple(v) for k, v in x.items()}
+            return x
+
+        payload = dict(data)
+        payload['format'] = 'marlsnake-hybrid-v1'
+        payload['neat_genome'] = _genome_to_dict(payload['neat_genome'])
+        payload['neat_config'] = detuple(
+            _dc.asdict(payload['neat_config']))
+        with open(tmp, 'wb') as f:
+            f.write(serialization.msgpack_serialize(payload))
+    else:
+        with open(tmp, 'wb') as f:
+            pickle.dump(data, f)
     os.replace(tmp, filename)
+
+
+def load_hybrid_raw(filename: str) -> dict:
+    """Load either hybrid-checkpoint format ->
+    ``{'dqn_params', 'neat_genome': Genome, 'neat_config': NeatConfig}``."""
+    if filename.endswith('.msgpack'):
+        from flax import serialization
+        with open(filename, 'rb') as f:
+            data = dict(serialization.msgpack_restore(f.read()))
+        data['neat_genome'] = _genome_from_dict(data['neat_genome'])
+        cfg_d = dict(data['neat_config'])
+        if isinstance(cfg_d.get('activation_options'), list):
+            cfg_d['activation_options'] = tuple(
+                cfg_d['activation_options'])
+        data['neat_config'] = NeatConfig(**cfg_d)
+        return data
+    with open(filename, 'rb') as f:
+        return pickle.load(f)
 
 
 def fc3_to_genome(params, neat_cfg: NeatConfig) -> Genome:
@@ -338,8 +406,7 @@ class HybridNEATTrainer:
 
 def load_hybrid(result_file: str):
     """Load a hybrid checkpoint -> (dqn_params, FeedForwardNetwork)."""
-    with open(result_file, 'rb') as f:
-        data = pickle.load(f)
+    data = load_hybrid_raw(result_file)
     net = FeedForwardNetwork.create(data['neat_genome'],
                                     data['neat_config'])
     return data['dqn_params'], net

@@ -75,12 +75,18 @@ class PPOConfig:
     # bit-identical for engine obs (one-hot {0,1}): skips the
     # conditional-/255 whole-batch max reduce in every rollout forward
     assume_binary_obs: bool = True
+    # Opt-in bit-packed env observations (EnvConfig.obs_format): the
+    # rollout batch stores (H, W, frame_stack) packed bytes (8x less
+    # memory/traffic); the net ingress unpacks to the exact uint8
+    # planes, so the update math is unchanged (bit-identical, tested).
+    obs_format: str = 'uint8'
 
     def env_config(self) -> EnvConfig:
         return EnvConfig.from_reward_dict(
             self.reward_dict, height=self.height, width=self.width,
             num_snakes=self.num_snakes, snake_length=self.snake_length,
-            vision_range=self.vision_range, frame_stack=self.frame_stack)
+            vision_range=self.vision_range, frame_stack=self.frame_stack,
+            obs_format=self.obs_format)
 
 
 @struct.dataclass
@@ -130,14 +136,23 @@ class PPOTrainer:
         self._update = jax.jit(self._update_impl)
 
     # ------------------------------------------------------------------
+    def _prep(self, obs):
+        """Net-ingress transform: unpack packed bytes to the exact uint8
+        planes (obs_format='packed'); identity otherwise."""
+        if self.config.obs_format == 'packed':
+            from marlsnake_tpu.ops.obs_pack import unpack_obs
+            return unpack_obs(obs)
+        return obs
+
     def init_state(self, key=None) -> PPOTrainState:
         cfg = self.config
         if key is None:
             key = jax.random.key(cfg.seed)
         k_param, k_env, key = jax.random.split(key, 3)
         obs_shape = self.env_cfg.obs_shape[1:]
-        params = self.net.init(k_param,
-                               jnp.zeros((1,) + obs_shape, jnp.uint8))
+        params = self.net.init(
+            k_param,
+            self._prep(jnp.zeros((1,) + obs_shape, jnp.uint8)))
         env_states, obs = self._reset_env(
             jax.random.split(k_env, cfg.num_envs))
         e, n = cfg.num_envs, cfg.num_snakes
@@ -154,7 +169,7 @@ class PPOTrainer:
     def _policy(self, params, obs):
         e, n = obs.shape[:2]
         flat = obs.reshape((e * n,) + obs.shape[2:])
-        logits, value = self.net.apply(params, flat)
+        logits, value = self.net.apply(params, self._prep(flat))
         return (logits.reshape(e, n, -1), value.reshape(e, n))
 
     def _pvary(self, x):
@@ -258,7 +273,7 @@ class PPOTrainer:
         def loss_fn(params, mbatch):
             mb_obs = mbatch['obs'].reshape(
                 (mbatch['obs'].shape[0],) + self.env_cfg.obs_shape[1:])
-            logits, value = self.net.apply(params, mb_obs)
+            logits, value = self.net.apply(params, self._prep(mb_obs))
             logp_all = jax.nn.log_softmax(logits)
             logp = jnp.take_along_axis(logp_all, mbatch['action'][:, None],
                                        -1)[:, 0]

@@ -195,9 +195,8 @@ def main(argv=None):
                 ckpt.get('model_state_dict', ckpt))))
             names.append('PPO')
         if os.path.exists(args.hybrid_pickle):
-            import pickle
-            with open(args.hybrid_pickle, 'rb') as f:
-                data = pickle.load(f)
+            from marlsnake_tpu.algo.neat_hybrid import load_hybrid_raw
+            data = load_hybrid_raw(args.hybrid_pickle)
             opponents.append(BatchedNEAT(data['dqn_params'],
                                          data['neat_genome'],
                                          data['neat_config']))
@@ -241,9 +240,8 @@ def main(argv=None):
             enemies.append(PPOAgent(1, ppo_params_from_torch(sd)))
             names.append('PPO')
         if os.path.exists(args.hybrid_pickle):
-            import pickle
-            with open(args.hybrid_pickle, 'rb') as f:
-                data = pickle.load(f)
+            from marlsnake_tpu.algo.neat_hybrid import load_hybrid_raw
+            data = load_hybrid_raw(args.hybrid_pickle)
             enemies.append(NEATAgent(len(enemies) + 1,
                                      data['dqn_params'],
                                      data['neat_genome'],

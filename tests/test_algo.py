@@ -466,3 +466,64 @@ def test_neat_fitness_common_random_numbers():
     fits = [gn.fitness for _, gn in genomes]
     # identical genomes + common random numbers -> identical fitness
     assert len(set(fits)) == 1, fits
+
+
+def test_hybrid_checkpoint_msgpack_roundtrip(tmp_path):
+    """The pickle-free hybrid checkpoint format (.msgpack) round-trips
+    genome + NeatConfig + params and produces the same network outputs
+    as the pickle format (ADVICE r4: shareable checkpoints should not
+    require unsafe pickle.load)."""
+    import jax
+    import numpy as np
+    from marlsnake_tpu.algo.dqn_trainer import DQNConfig, DQNTrainer
+    from marlsnake_tpu.algo.neat import NeatConfig, FeedForwardNetwork
+    from marlsnake_tpu.algo.neat_hybrid import (fc3_to_genome,
+                                                load_hybrid_raw,
+                                                save_checkpoint_safe)
+
+    dtr = DQNTrainer(DQNConfig(height=10, width=10, num_snakes=2,
+                               snake_length=3))
+    params = jax.device_get(dtr.init_state(jax.random.key(2)).params)
+    cfg = NeatConfig(num_inputs=128, num_outputs=3, pop_size=7)
+    genome = fc3_to_genome(params, cfg)
+    genome.fitness = 1.25
+    payload = {'dqn_params': params, 'neat_genome': genome,
+               'neat_config': cfg}
+    for name in ('h.msgpack', 'h.pkl'):
+        save_checkpoint_safe(payload, str(tmp_path / name))
+    a = load_hybrid_raw(str(tmp_path / 'h.msgpack'))
+    b = load_hybrid_raw(str(tmp_path / 'h.pkl'))
+    assert a['neat_config'] == b['neat_config']
+    assert a['neat_genome'].fitness == 1.25
+    x = np.random.default_rng(0).normal(size=128)
+    na = FeedForwardNetwork.create(a['neat_genome'], a['neat_config'])
+    nb = FeedForwardNetwork.create(b['neat_genome'], b['neat_config'])
+    np.testing.assert_allclose(na.activate(x), nb.activate(x),
+                               rtol=1e-12)
+    for pa, pb in zip(jax.tree.leaves(a['dqn_params']),
+                      jax.tree.leaves(b['dqn_params'])):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_ppo_training_identical_under_packed_obs():
+    """PPO with obs_format='packed' stores packed rollouts and unpacks
+    at net ingress — updates are bit-identical to uint8 mode."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from marlsnake_tpu.algo.ppo_trainer import PPOConfig, PPOTrainer
+
+    base = PPOConfig(height=10, width=10, num_snakes=2, snake_length=2,
+                     num_envs=4, rollout_steps=8, num_minibatches=2,
+                     update_epochs=1, save_final=False, frame_stack=2)
+    outs = {}
+    for fmt in ('uint8', 'packed'):
+        tr = PPOTrainer(dataclasses.replace(base, obs_format=fmt))
+        ts = tr.init_state()
+        ts, m = tr._update(ts)
+        ts, m = tr._update(ts)
+        outs[fmt] = (float(m.loss_actor), float(m.loss_value), ts)
+    assert outs['uint8'][:2] == outs['packed'][:2]
+    for a, b in zip(jax.tree.leaves(outs['uint8'][2].params),
+                    jax.tree.leaves(outs['packed'][2].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -125,11 +125,28 @@ def test_reference_test_env_runs_unmodified(monkeypatch, capsys):
     the adapters speak its exact protocol (reset -> obs, 4-tuple step,
     action_space.sample, render, close). Only time.sleep is neutralized
     — an environment patch, not a script edit."""
+    import os
+    import sys
     import time as time_mod
     monkeypatch.setattr(time_mod, 'sleep', lambda s: None)
-    src = open('/root/reference/test_env.py').read()
-    ns = {'__name__': '__main__'}
-    exec(compile(src, '/root/reference/test_env.py', 'exec'), ns)
+    # ref_shim (used by the replay-parity tests) maps 'marlenv' to the
+    # ACTUAL reference package for its own purposes — purge it so the
+    # script resolves against this repo's compat shim, like a fresh
+    # interpreter at the repo root would
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules)
+             if k == 'marlenv' or k.startswith('marlenv.')}
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(
+        __file__)))
+    monkeypatch.syspath_prepend(repo_root)
+    try:
+        src = open('/root/reference/test_env.py').read()
+        ns = {'__name__': '__main__'}
+        exec(compile(src, '/root/reference/test_env.py', 'exec'), ns)
+    finally:
+        for k in list(sys.modules):
+            if k == 'marlenv' or k.startswith('marlenv.'):
+                sys.modules.pop(k)
+        sys.modules.update(saved)
     # the script's loop ran to episode end and printed observations
     assert 'obs = ' in capsys.readouterr().out
     assert all(ns['done'])
