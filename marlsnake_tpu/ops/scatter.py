@@ -17,34 +17,34 @@ def dense_set_1d(arr: jnp.ndarray, idx: jnp.ndarray, val,
     """arr[(idx[j])] = val[j] for valid j, as a dense masked select.
 
     arr (L,), idx (K,) int, val scalar or (K,), valid (K,) bool or None.
-    Distinct valid indices assumed EXCEPT when ``val`` is a scalar, where
-    duplicates are harmless (same value); the engine's write stages are
-    ordered across calls instead. Vector values must be NON-NEGATIVE and
-    leave +1 headroom in ``arr.dtype`` (the reduce form below encodes
-    "written" as ``val + 1``; a -1 sentinel or a dtype-max value would be
-    silently dropped). All engine call sites write packed cell codes
-    (<= 117 in int32), which satisfy both.
+    Overlapping valid indices resolve LAST-WRITER-WINS (ascending j) —
+    strictly more general than the earlier sum-reduce form, which
+    required disjoint writers for vector values; every engine call site
+    is disjoint, so the two forms are bit-identical there.
 
-    Form: ONE reduction pass over the K (writer) axis instead of K
-    unrolled ``where`` chains. The chain form forced XLA to materialize
-    the (num_envs, K, L) one-hot between kernels (39MB at 4096 envs,
-    K=24 reset paint — fusion.292/321 in device traces); the reduce form
-    fuses the one-hot generation into the reduce loop and never touches
-    HBM with it. Measured: headline 5.58M -> 6.67M env-steps/s.
+    Form history: K unrolled ``where`` chains fusing into ONE
+    elementwise pass per consumer. Round 1 measured the chain form
+    LOSING to a (K, L) one-hot sum-reduce (5.58M vs 6.67M headline) —
+    XLA materialized the one-hot between kernels at the K=24 reset
+    paint. Round 5 re-measured after that call site left the hot path
+    (procedural reset paints closed-form; blob mode gathers): the chain
+    now WINS or ties everywhere — headline 16.8M -> 17.6M (K=16
+    phase-6 writes), 10x10x1 33.9M -> 42.2M (small-board reset paint),
+    8-snake fs4 rows flat (K=32). Same lesson as the fruit-hit unroll:
+    with a static tiny writer axis, chained scalar-broadcast selects
+    beat materializing the (K, L) intermediate + reduction.
     """
     length = arr.shape[0]
-    onehot = idx[:, None] == jnp.arange(length)[None, :]  # (K, L)
-    if valid is not None:
-        onehot = onehot & valid[:, None]
+    ar = jnp.arange(length)
     val = jnp.asarray(val, dtype=arr.dtype)
-    if val.ndim == 0:
-        # scalar value: duplicate indices collapse naturally
-        return jnp.where(onehot.any(0), val, arr)
-    # disjoint per-writer values, biased by +1 so the hit test rides the
-    # same reduction (values are small non-negative cell codes; a second
-    # reduce_or pass for `hit` measured ~4ms/64 steps at 4096 envs)
-    acc = jnp.where(onehot, val[:, None] + 1, 0).sum(0)
-    return jnp.where(acc > 0, acc - 1, arr).astype(arr.dtype)
+    out = arr
+    for j in range(idx.shape[0]):
+        hit = idx[j] == ar
+        if valid is not None:
+            hit = hit & valid[j]
+        vj = val if val.ndim == 0 else val[j]
+        out = jnp.where(hit, vj, out)
+    return out
 
 
 def dense_add_1d(arr: jnp.ndarray, idx: jnp.ndarray,
