@@ -307,6 +307,9 @@ def test_pack_unpack_roundtrip():
     # procedural spawn composes with packed obs
     dict(height=12, width=12, num_snakes=3, snake_length=3, num_fruits=2,
          spawn_mode='procedural'),
+    # walls map + packed (the bench fs4 packed rows run on maps)
+    dict(num_snakes=8, snake_length=3, num_fruits=3, frame_stack=2,
+         map_layout='cross'),
 ])
 def test_packed_obs_bit_identical_to_uint8(cfg_kw):
     """obs_format='packed' trajectories unpack to EXACTLY the uint8-mode
@@ -318,7 +321,11 @@ def test_packed_obs_bit_identical_to_uint8(cfg_kw):
     from marlsnake_tpu.envs.vector import build_vector_fns
     from marlsnake_tpu.ops.obs_pack import unpack_obs
 
-    cfg_u = EnvConfig(**cfg_kw)
+    kw = dict(cfg_kw)
+    if kw.pop('map_layout', None):
+        from marlsnake_tpu.core.maps import load_layout
+        kw['map_layout'] = load_layout('20x20_cross')
+    cfg_u = EnvConfig(**kw)
     cfg_p = dataclasses.replace(cfg_u, obs_format='packed')
     fs = cfg_u.frame_stack
     ru, su = build_vector_fns(cfg_u, autoreset=True)
