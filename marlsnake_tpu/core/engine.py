@@ -307,24 +307,39 @@ def encode_frame_cropped(cfg: T.EnvConfig, grid: jnp.ndarray,
     ry = center[:, 0, None] + jnp.arange(v2) - v   # (N, v2) source rows
     cx = center[:, 1, None] + jnp.arange(v2) - v   # (N, v2) source cols
     # win[n, y, x] = grid[ry[n, y], cx[n, x]] (0 when out of bounds).
+    # Round 5: both one-hot passes are UNROLLED over their static table
+    # axis into chained selects (the dense_set_1d / fruit-hit lesson —
+    # chained scalar-broadcast selects beat materializing a one-hot
+    # intermediate + reduction): vision5 rollout 14.3M -> 20.4M
+    # env-steps/s at 4096 envs, same-session comparison, bit-identical.
     if n <= 16:
         wp = (w + 3) // 4
         gpad = jnp.pad(grid, ((0, 0), (0, wp * 4 - w))).astype(jnp.int32)
         words = sum(gpad[:, i::4] << (8 * i) for i in range(4))  # (H, wp)
-        # tmp[n, y, p] = words[ry[n, y], p]
-        sel_r = ry[:, :, None, None] == jnp.arange(h)[:, None]
-        tmp = jnp.where(sel_r, words[None, None], 0).sum(2)   # (N, y, wp)
+        # tmp[n, y, p] = words[ry[n, y], p] — unrolled over H rows
+        tmp = jnp.zeros((n, v2, wp), jnp.int32)
+        for hh in range(h):
+            tmp = jnp.where((ry == hh)[:, :, None],
+                            words[hh][None, None], tmp)
+        # winw[n, y, x] = tmp[n, y, cx[n, x] >> 2] — unrolled over the
+        # ceil(W/4) column words
         cw = cx >> 2
-        sel_c = cw[:, None, :, None] == jnp.arange(wp)        # (N,1,x,wp)
-        winw = jnp.where(sel_c, tmp[:, :, None, :], 0).sum(-1)  # (N,y,x)
+        winw = jnp.zeros((n, v2, v2), jnp.int32)
+        for pp in range(wp):
+            winw = jnp.where((cw == pp)[:, None, :],
+                             tmp[:, :, pp][..., None], winw)
         win = (winw >> ((cx & 3) * 8)[:, None, :]) & 0xFF
     else:
-        # tmp[n, x, h] = grid[h, cx[n, x]]
-        sel_c = cx[:, :, None, None] == jnp.arange(w)         # (N,x,1,W)
-        tmp = jnp.where(sel_c, grid[None, None], 0).sum(-1)   # (N, x, H)
-        sel_r = ry[:, None, :, None] == jnp.arange(h)         # (N,1,y,H)
-        win = jnp.swapaxes(
-            jnp.where(sel_r, tmp[:, :, None, :], 0).sum(-1), 1, 2)
+        # unpacked fallback (cells don't fit a byte): same unrolled
+        # two-pass walk over raw grid columns then rows
+        tmp = jnp.zeros((n, v2, w), jnp.int32)   # tmp[n, y, c] = grid[ry, c]
+        for hh in range(h):
+            tmp = jnp.where((ry == hh)[:, :, None],
+                            grid[hh][None, None], tmp)
+        win = jnp.zeros((n, v2, v2), jnp.int32)
+        for cc_ in range(w):
+            win = jnp.where((cx == cc_)[:, None, :],
+                            tmp[:, :, cc_][..., None], win)
 
     # channel encode via the shared packed byte + bit unpack (same form
     # as encode_frame — bit-identical, ~2 ops per output element); the

@@ -83,17 +83,27 @@ def use_grid_rays(cfg: T.EnvConfig) -> bool:
 
 
 def _byte_select_cells(h, w, grid, rr, cc):
-    """One-hot byte-select of cells (rr, cc) from the u32-packed word
-    plane of ``grid`` (the vision-window trick,
-    engine.encode_frame_cropped); out-of-bounds -> 0 (EMPTY)."""
+    """Byte-select of cells (rr, cc) from the u32-packed word plane of
+    ``grid`` (the vision-window trick, engine.encode_frame_cropped);
+    out-of-bounds -> 0 (EMPTY).
+
+    Two UNROLLED chained-select passes (rows, then column words) over
+    the static table axes — the round-5 unroll lesson: the previous
+    flat (N, 5, v, H*W/4) one-hot + reduce materialized its
+    intermediate (graph rollout 7.0M -> measured after switch in
+    BENCH_TABLE)."""
     wp = -(-w // 4)
     gpad = jnp.pad(grid, ((0, 0), (0, wp * 4 - w))).astype(jnp.int32)
     words = sum(gpad[:, i::4] << (8 * i) for i in range(4))  # (H, wp)
-    fidx = rr * wp + (cc >> 2)                               # word index
     inb = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
-    fidx = jnp.where(inb, fidx, -1)
-    sel = fidx[..., None] == jnp.arange(h * wp)              # (N,5,v,HW/4)
-    word = jnp.where(sel, words.reshape(-1), 0).sum(-1)
+    rsel = jnp.where(inb, rr, -1)
+    tmp = jnp.zeros(rr.shape + (wp,), jnp.int32)   # (N, 5, v, wp)
+    for hh in range(h):
+        tmp = jnp.where((rsel == hh)[..., None], words[hh], tmp)
+    cw = cc >> 2
+    word = jnp.zeros(rr.shape, jnp.int32)
+    for pp in range(wp):
+        word = jnp.where(cw == pp, tmp[..., pp], word)
     return (word >> ((cc & 3) * 8)) & 0xFF                   # (N, 5, v)
 
 
