@@ -111,11 +111,17 @@ class DQNConfig:
     # MEASURED AND REFUTED inside the trainer (round 5, real chip,
     # bf16+pad16 acting knobs, artifacts/LEARNER_CHUNK.json): 0.98x at
     # e=32 (385.7 -> 392.8 ms/episode), 0.98x at e=256, 0.92x at
-    # e=2048. Unlike the bench acting row — where dropping obs from the
-    # scan carry DCE'd the env's own encode (268k -> 327k) — the
-    # trainer MUST keep obs in the carry for the replay push, so the
-    # re-encode is pure extra compute and only the pad copy could have
-    # been saved. Kept opt-in as the recorded experiment; default off.
+    # e=2048 — measured pre-encode-rewrite, when both programs ran the
+    # same trajectories. Unlike the bench acting row — where dropping
+    # obs from the scan carry DCE'd the env's own encode (268k -> 327k)
+    # — the trainer MUST keep obs in the carry for the replay push, so
+    # the re-encode is pure extra compute and only the pad copy could
+    # have been saved. After the round-5 encode rewrite the margin is
+    # within noise, but the two modes are no longer per-episode
+    # comparable under bf16: the program change shifts accumulation
+    # order, Q near-ties flip, and episode LENGTHS diverge (the
+    # artifact's e=256 rows show 174- vs 254-step episodes). Kept
+    # opt-in as the recorded experiment; default off.
     reencode_acting_obs: Optional[bool] = None
     # Opt-in learner pacing (defaults = the reference's 1-update-per-
     # env-step contract, train_dqn.py:228-257).

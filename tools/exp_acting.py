@@ -18,6 +18,12 @@ Variants:
                probes whether the 3*3*8=72-deep contraction is starving
                the 128-lane MXU)
 
+NOTE (round 5): the engine's encode rewrite (shared byte + bit unpack)
+lifted the wired-in optimized acting row 327k -> 377k env-steps/s — the
+round-3 "~99% of the bf16 roofline" framing overestimated the conv share
+(the encode inside the acting step was bigger than the trace attribution
+suggested). The variant rows below are the recorded round-3 matrix.
+
 Usage: python tools/exp_acting.py [--envs 4096] [--steps 64] [--iters 3]
 """
 

@@ -1,9 +1,16 @@
-"""Vision-window encode experiments (NEXT_STEPS item 1).
+"""Vision-window encode experiments (historical variant matrix).
 
 Measures full-rollout throughput (bench.build_rollout, vision_range=5)
 with alternative implementations of ``encode_frame_cropped`` monkeypatched
 into the engine. Each variant is bit-checked against the baseline on a
 small batch first.
+
+NOTE (round 5): the shipped engine form moved PAST every variant here —
+the two window passes are now UNROLLED chained selects over the static
+row/word axes and the channel encode is a shared-byte bit unpack
+(engine.encode_frame_cropped; vision5 9.2M at this matrix's baseline ->
+18.0M). The rows below remain the recorded round-3/4 comparisons that
+picked the then-best W-packed select+reduce form.
 
 Usage: python tools/exp_vision.py [variant ...]   (default: all)
 """
