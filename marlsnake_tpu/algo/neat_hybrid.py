@@ -404,6 +404,228 @@ class HybridNEATTrainer:
         return pop.run(self.eval_genomes, num_generations, verbose=verbose)
 
 
+class HeadESTrainer:
+    """Antithetic weight-perturbation ES on the hybrid decision head.
+
+    Why it exists: the NEAT flagship's honest negative (round 5) is that
+    its champion never moves off the fc3 seed — NEAT's variation operator
+    (weight_mutate_power 0.5 over weights in [-3, 3], train_ga.py ini
+    values) is ~100x too coarse for local search around a
+    gradient-trained head, so every mutant scores below the elite and
+    selection just preserves the seed. This trainer keeps the hybrid's
+    exact evaluation contract (frozen-DQN 128-d embedding ->
+    relu-activated 3-way head -> argmax, identical to the fc3-seeded
+    NEAT genome's ``FeedForwardNetwork``) but replaces the variation
+    with OpenAI-style ES [Salimans et al. 2017, PAPERS.md]:
+
+      * population = theta +/- sigma * eps_i (antithetic pairs), all
+        evaluated in ONE device batch per episode — the same
+        one-env-per-member, whole-episode-jitted rollout the NEAT path
+        uses (common random numbers across members, so each pair's
+        fitness difference is the paired CRN estimate of the directional
+        derivative);
+      * update = rank-shaped gradient ascent on theta;
+      * the running theta is itself evaluated every generation (member
+        0) and the best-scoring theta snapshot is kept.
+
+    The result saves as a standard fc3-topology hybrid genome
+    (``save_checkpoint_safe``), so ``render_winner``/battle consumers
+    load it unchanged. ``holdout_compare`` measures seed vs champion on
+    FRESH paired episodes — the claim "beats the seed" is made on
+    held-out draws, never the training keys.
+
+    Reference counterpart: train_ga.py's evolution loop (:219-307); this
+    is the capability it was meant to provide (improve the head beyond
+    the DQN's own fc3), built TPU-first.
+    """
+
+    def __init__(self, dqn_params, env_cfg: Optional[EnvConfig] = None,
+                 neat_cfg: Optional[NeatConfig] = None,
+                 episode_steps: int = 512, pop_size: int = 128,
+                 sigma: float = 0.02, lr: float = 0.01,
+                 fitness_episodes: int = 4, seed: int = 0,
+                 result_file: str = 'hybrid_es_best.msgpack'):
+        assert pop_size % 2 == 0, 'antithetic pairs need an even pop'
+        self.env_cfg = env_cfg or EnvConfig.from_reward_dict(
+            DEFAULT_REWARD, height=20, width=20, num_snakes=4,
+            snake_length=5)
+        self.neat_cfg = neat_cfg or NeatConfig(
+            num_inputs=128, num_outputs=self.env_cfg.num_actions)
+        self.episode_steps = episode_steps
+        self.pop_size = pop_size
+        self.sigma = sigma
+        self.lr = lr
+        self.fitness_episodes = fitness_episodes
+        self.seed = seed
+        self.result_file = result_file
+        self.dqn_params = dqn_params
+        self.net = DQN(num_actions=self.env_cfg.num_actions,
+                       assume_binary_obs=True)
+
+        p = dqn_params['params'] if 'params' in dqn_params else dqn_params
+        self.kernel = jnp.asarray(p['fc3']['kernel'], jnp.float32)  # (128,3)
+        self.bias = jnp.asarray(p['fc3']['bias'], jnp.float32)      # (3,)
+        self._seed_theta = (self.kernel, self.bias)
+
+        self._reset_env, self._step_env = build_vector_fns(
+            self.env_cfg, autoreset=False)
+        self._reset_jit = jax.jit(self._reset_env)
+        inp = self.neat_cfg.num_inputs
+        steps = self.episode_steps
+        step_env = self._step_env
+        net = self.net
+
+        @jax.jit
+        def run(dqn_params, W, b, states, obs):
+            """One fitness episode for the whole member batch: W (P,128,3)
+            b (P,3); returns per-member per-snake returns (P, N)."""
+            def cond(carry):
+                _, _, done, _, t = carry
+                return (t < steps) & ~done.all()
+
+            def body(carry):
+                states, obs, done, ret, t = carry
+                pop, n = obs.shape[0], obs.shape[1]
+                flat = obs.reshape((-1,) + obs.shape[2:])
+                emb = net.apply(dqn_params, flat, method=net.features
+                                ).reshape(pop, n, inp)
+                # relu head: identical to the fc3-seeded NEAT genome's
+                # output nodes (activation_default='relu'); argmax ties
+                # resolve to the first index, like np.argmax in the
+                # reference's consumers (train_ga.py:241)
+                logits = jnp.maximum(
+                    jnp.einsum('pni,pij->pnj', emb, W) + b[:, None, :],
+                    0.0)
+                acts = jnp.argmax(logits, -1).astype(jnp.int32)
+                actions = jnp.where(done, 0, acts)
+                states, out = step_env(states, actions)
+                return (states, out.obs, done | out.done,
+                        ret + out.reward, t + 1)
+
+            pop, n = obs.shape[0], obs.shape[1]
+            init = (states, obs, jnp.zeros((pop, n), bool),
+                    jnp.zeros((pop, n), jnp.float32), jnp.int32(0))
+            return jax.lax.while_loop(cond, body, init)[3]
+
+        self._run = run
+
+    def _fitness(self, W, b, gen_key) -> np.ndarray:
+        """Mean per-member fitness over K CRN episodes: every member
+        plays the SAME K env draws (one broadcast reset key per
+        episode), so between-member comparisons are paired."""
+        pop = W.shape[0]
+        ep = []
+        for j in range(self.fitness_episodes):
+            k_ep = jax.random.fold_in(gen_key, j)
+            keys = jnp.broadcast_to(k_ep[None], (pop,))
+            states, obs = self._reset_jit(keys)
+            ep.append(np.asarray(
+                self._run(self.dqn_params, W, b, states, obs)))
+        return np.stack(ep).mean(0).mean(-1)  # (P,)
+
+    def _member_batch(self, theta, eps_k, eps_b):
+        """[theta, theta+sigma*eps_i, theta-sigma*eps_i] stacked."""
+        k, b = theta
+        Wp = jnp.concatenate([k[None],
+                              k[None] + self.sigma * eps_k,
+                              k[None] - self.sigma * eps_k], 0)
+        bp = jnp.concatenate([b[None],
+                              b[None] + self.sigma * eps_b,
+                              b[None] - self.sigma * eps_b], 0)
+        return Wp, bp
+
+    def run(self, num_generations: int = 50, verbose: bool = True,
+            on_generation=None):
+        half = self.pop_size // 2
+        theta = self._seed_theta
+        best_theta, best_score = theta, -np.inf
+        key = jax.random.key(self.seed)
+        history = []
+        for gen in range(num_generations):
+            key, k_eps, k_env = jax.random.split(key, 3)
+            eps_k = jax.random.normal(k_eps, (half,) + self.kernel.shape)
+            eps_b = jax.random.normal(
+                jax.random.fold_in(k_eps, 1), (half,) + self.bias.shape)
+            W, b = self._member_batch(theta, eps_k, eps_b)
+            fit = self._fitness(W, b, k_env)  # (1 + 2*half,)
+            f_theta, f_pos, f_neg = fit[0], fit[1:1 + half], fit[1 + half:]
+            if f_theta > best_score:
+                best_score, best_theta = float(f_theta), theta
+                self._save(best_theta, best_score)
+            # rank-shaped utilities over the 2*half perturbed members
+            # (centered ranks in [-0.5, 0.5] — scale-free, outlier-robust)
+            pert = np.concatenate([f_pos, f_neg])
+            ranks = np.empty(pert.size)
+            ranks[np.argsort(pert)] = np.arange(pert.size)
+            u = ranks / (pert.size - 1) - 0.5
+            u_pos, u_neg = u[:half], u[half:]
+            coef = jnp.asarray((u_pos - u_neg) / (half * self.sigma),
+                               jnp.float32)
+            gk = jnp.einsum('p,pij->ij', coef, eps_k)
+            gb = jnp.einsum('p,pj->j', coef, eps_b)
+            theta = (theta[0] + self.lr * gk, theta[1] + self.lr * gb)
+            rec = {'gen': gen, 'theta_fitness': float(f_theta),
+                   'pert_best': float(pert.max()),
+                   'pert_mean': float(pert.mean()),
+                   'best_score': best_score,
+                   'theta_l2_from_seed': float(jnp.sqrt(
+                       ((theta[0] - self._seed_theta[0]) ** 2).sum()
+                       + ((theta[1] - self._seed_theta[1]) ** 2).sum()))}
+            history.append(rec)
+            if verbose:
+                print(f"gen {gen:3d} | theta {rec['theta_fitness']:9.3f}"
+                      f" | pert best {rec['pert_best']:9.3f}"
+                      f" | best {best_score:9.3f}"
+                      f" | |d|={rec['theta_l2_from_seed']:.3f}")
+            if on_generation:
+                on_generation(rec)
+        return best_theta, best_score, history
+
+    def theta_to_genome(self, theta) -> Genome:
+        """Pack (kernel, bias) into the fc3-topology hybrid genome."""
+        genome = Genome(0)
+        import random as _random
+        genome.configure_new(self.neat_cfg, _random.Random(0))
+        kernel = np.asarray(theta[0])
+        bias = np.asarray(theta[1])
+        for o, ok in enumerate(self.neat_cfg.output_keys):
+            genome.nodes[ok].bias = float(bias[o])
+            for i, ik in enumerate(self.neat_cfg.input_keys):
+                genome.connections[(ik, ok)].weight = float(kernel[i, o])
+        return genome
+
+    def _save(self, theta, score):
+        genome = self.theta_to_genome(theta)
+        genome.fitness = score
+        save_checkpoint_safe({
+            'dqn_params': jax.device_get(self.dqn_params),
+            'neat_genome': genome,
+            'neat_config': self.neat_cfg,
+        }, self.result_file)
+
+    def holdout_compare(self, theta_a, theta_b, episodes: int = 32,
+                        seed: int = 10_000):
+        """Paired held-out evaluation: both heads play the same fresh
+        episode draws (never used in training — distinct key root).
+        Returns (mean_a, mean_b, mean paired diff, std of paired diff)."""
+        W = jnp.stack([theta_a[0], theta_b[0]])
+        b = jnp.stack([theta_a[1], theta_b[1]])
+        diffs, ra, rb = [], [], []
+        root = jax.random.key(self.seed + seed)
+        for j in range(episodes):
+            k_ep = jax.random.fold_in(root, j)
+            keys = jnp.broadcast_to(k_ep[None], (2,))
+            states, obs = self._reset_jit(keys)
+            ret = np.asarray(self._run(self.dqn_params, W, b, states,
+                                       obs)).mean(-1)
+            ra.append(ret[0])
+            rb.append(ret[1])
+            diffs.append(ret[1] - ret[0])
+        d = np.asarray(diffs)
+        return (float(np.mean(ra)), float(np.mean(rb)),
+                float(d.mean()), float(d.std(ddof=1)))
+
+
 def load_hybrid(result_file: str):
     """Load a hybrid checkpoint -> (dqn_params, FeedForwardNetwork)."""
     data = load_hybrid_raw(result_file)

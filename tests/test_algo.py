@@ -527,3 +527,88 @@ def test_ppo_training_identical_under_packed_obs():
     for a, b in zip(jax.tree.leaves(outs['uint8'][2].params),
                     jax.tree.leaves(outs['packed'][2].params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_es_head_trainer_runs_and_matches_seed_semantics(tmp_path):
+    """HeadESTrainer: (a) one generation runs end-to-end and saves a
+    loadable fc3-topology hybrid checkpoint; (b) the relu-head device
+    batch reproduces the fc3-seeded NEAT genome's FeedForwardNetwork
+    logits (same evaluation contract as the NEAT hybrid path); (c) CRN
+    pairing — the unperturbed member's fitness is deterministic in
+    (seed, generation)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from marlsnake_tpu.algo.dqn_trainer import DQNConfig, DQNTrainer
+    from marlsnake_tpu.algo.neat import FeedForwardNetwork, NeatConfig
+    from marlsnake_tpu.algo.neat_hybrid import (HeadESTrainer,
+                                                load_hybrid)
+    from marlsnake_tpu.core.types import EnvConfig
+
+    env_cfg = EnvConfig(height=10, width=10, num_snakes=2,
+                        snake_length=3)
+    dtr = DQNTrainer(DQNConfig(height=10, width=10, num_snakes=2,
+                               snake_length=3))
+    params = dtr.init_state(jax.random.key(3)).params
+    out = str(tmp_path / 'es.msgpack')
+    tr = HeadESTrainer(params, env_cfg=env_cfg,
+                       neat_cfg=NeatConfig(num_inputs=128, num_outputs=3),
+                       episode_steps=16, pop_size=4, sigma=0.05,
+                       fitness_episodes=2, seed=0, result_file=out)
+
+    # (b) head semantics == fc3-seeded genome's FeedForwardNetwork
+    genome = tr.theta_to_genome(tr._seed_theta)
+    net = FeedForwardNetwork.create(genome, tr.neat_cfg)
+    emb = np.random.default_rng(0).normal(size=(1, 2, 128)) \
+        .astype(np.float32)
+    logits = np.maximum(
+        np.einsum('pni,pij->pnj', emb,
+                  np.asarray(tr._seed_theta[0])[None])
+        + np.asarray(tr._seed_theta[1]), 0.0)
+    for i in range(2):
+        np.testing.assert_allclose(
+            net.activate(emb[0, i]), logits[0, i], rtol=1e-5, atol=1e-5)
+
+    best_theta, best_score, hist = tr.run(num_generations=1,
+                                          verbose=False)
+    assert len(hist) == 1 and np.isfinite(hist[0]['theta_fitness'])
+    dqn_params, loaded_net = load_hybrid(out)  # (a) consumers load it
+    np.testing.assert_allclose(
+        loaded_net.activate(emb[0, 0]),
+        np.maximum(emb[0, 0] @ np.asarray(best_theta[0])
+                   + np.asarray(best_theta[1]), 0.0),
+        rtol=1e-5, atol=1e-5)
+
+    # (c) determinism of the unperturbed member's CRN fitness
+    tr2 = HeadESTrainer(params, env_cfg=env_cfg,
+                        neat_cfg=NeatConfig(num_inputs=128,
+                                            num_outputs=3),
+                        episode_steps=16, pop_size=4, sigma=0.05,
+                        fitness_episodes=2, seed=0,
+                        result_file=str(tmp_path / 'es2.msgpack'))
+    _, _, hist2 = tr2.run(num_generations=1, verbose=False)
+    assert hist[0]['theta_fitness'] == hist2[0]['theta_fitness']
+
+
+def test_es_holdout_compare_paired():
+    """holdout_compare plays both heads on the SAME fresh draws: a head
+    compared against itself must have exactly zero paired difference."""
+    import jax
+    from marlsnake_tpu.algo.dqn_trainer import DQNConfig, DQNTrainer
+    from marlsnake_tpu.algo.neat import NeatConfig
+    from marlsnake_tpu.algo.neat_hybrid import HeadESTrainer
+    from marlsnake_tpu.core.types import EnvConfig
+
+    env_cfg = EnvConfig(height=10, width=10, num_snakes=2,
+                        snake_length=3)
+    dtr = DQNTrainer(DQNConfig(height=10, width=10, num_snakes=2,
+                               snake_length=3))
+    params = dtr.init_state(jax.random.key(4)).params
+    tr = HeadESTrainer(params, env_cfg=env_cfg,
+                       neat_cfg=NeatConfig(num_inputs=128, num_outputs=3),
+                       episode_steps=16, pop_size=4,
+                       fitness_episodes=1,
+                       result_file='/tmp/es_holdout_test.msgpack')
+    ma, mb, dmean, dstd = tr.holdout_compare(
+        tr._seed_theta, tr._seed_theta, episodes=3)
+    assert ma == mb and dmean == 0.0 and dstd == 0.0
