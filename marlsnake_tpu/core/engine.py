@@ -422,11 +422,18 @@ def _procedural_spawn(cfg: T.EnvConfig, k_spawn: jnp.ndarray):
     (snake_env.py:576-589) with a structured placement family that needs
     NO host precomputation and NO per-reset gather: snake i owns the
     contiguous band of interior rows [1 + i*b, 1 + (i+1)*b) with
-    b = (height-2)//num_snakes, and samples
-      * a row inside its band,
-      * a column start c0 with the whole k-segment wall-free,
-      * a head side (left/right end of the segment)
-    from three uniforms. Segments in distinct rows are disjoint by
+    b = (height-2)//num_snakes, and samples from four uniforms
+      * an orientation (``cfg.spawn_orientations == 'both'`` opt-in:
+        horizontal / vertical — vertical only when the band is tall
+        enough for a k-segment, b >= k; default 'horizontal' skips the
+        draw's consumption entirely),
+      * a position inside its band (row for horizontal; row start +
+        any interior column for vertical — the whole vertical segment
+        stays inside the band),
+      * a column start c0 with the whole k-segment wall-free
+        (horizontal),
+      * a head side (left/right resp. top/bottom end of the segment).
+    Segments confined to distinct row bands are disjoint by
     construction — no rejection loop, which under vmap would run at the
     max iteration count over the whole batch.
 
@@ -438,25 +445,41 @@ def _procedural_spawn(cfg: T.EnvConfig, k_spawn: jnp.ndarray):
     ~(N*k + 2N)-lane one-hot paint or the pool blob's row gather.
 
     Key schedule (mirrored bit-exactly by the oracle, 'jax' mode):
-    ``u = uniform(k_spawn, (N, 3))``; floor-scaled with the same
-    min-clamp as the pool-row pick.
+    ``u = uniform(k_spawn, (N, 4))``; floor-scaled with the same
+    min-clamp as the pool-row pick. u0 = position-in-band, u1 = column,
+    u2 = head side, u3 = orientation (drawn always; consumed only when
+    ``cfg.spawn_orientations == 'both'`` and b >= k, so the uniform
+    count never depends on the board or the knob).
     """
     n, k, h, w = (cfg.num_snakes, cfg.snake_length, cfg.height,
                   cfg.width)
     b = (h - 2) // n          # rows per band (>= 1, validated in config)
     s = w - 1 - k             # of possible column starts (>= 1)
-    u = jax.random.uniform(k_spawn, (n, 3))
+    # static: vertical opted in AND a vertical k-segment fits a band
+    allow_vertical = cfg.spawn_orientations == 'both' and b >= k
+    u = jax.random.uniform(k_spawn, (n, 4))
     dr = jnp.minimum((u[:, 0] * b).astype(jnp.int32), b - 1)
     c0 = 1 + jnp.minimum((u[:, 1] * s).astype(jnp.int32), s - 1)
-    side = u[:, 2] < 0.5      # True -> head at the LEFT end (c0)
-    rows = 1 + jnp.arange(n, dtype=jnp.int32) * b + dr
+    side = u[:, 2] < 0.5      # True -> head at the LEFT (resp. TOP) end
+    band0 = 1 + jnp.arange(n, dtype=jnp.int32) * b
+    rows = band0 + dr
     head_col = jnp.where(side, c0, c0 + k - 1)
     tail_col = jnp.where(side, c0 + k - 1, c0)
 
     j = jnp.arange(k, dtype=jnp.int32)
-    cols = jnp.where(side[:, None], c0[:, None] + j[None, :],
-                     c0[:, None] + (k - 1) - j[None, :])
-    cell_flat = rows[:, None] * w + cols        # (N, k) head-first
+    jj = jnp.where(side[:, None], j[None, :], (k - 1) - j[None, :])
+    cell_flat = rows[:, None] * w + c0[:, None] + jj  # (N, k) head-first
+    if allow_vertical:
+        vert = u[:, 3] < 0.5
+        sv = b - k + 1        # vertical row starts inside the band
+        r0 = band0 + jnp.minimum((u[:, 0] * sv).astype(jnp.int32),
+                                 sv - 1)
+        cv = 1 + jnp.minimum((u[:, 1] * (w - 2)).astype(jnp.int32),
+                             w - 3)
+        head_row = jnp.where(side, r0, r0 + k - 1)
+        tail_row = jnp.where(side, r0 + k - 1, r0)
+        v_cells = (r0[:, None] + jj) * w + cv[:, None]
+        cell_flat = jnp.where(vert[:, None], v_cells, cell_flat)
 
     # closed-form paint: expand per-snake params to per-row vectors by
     # the STATIC band layout (row 0 border, n*b band rows, leftover +
@@ -469,20 +492,52 @@ def _procedural_spawn(cfg: T.EnvConfig, k_spawn: jnp.ndarray):
             jnp.repeat(v, b, total_repeat_length=n * b),
             jnp.full((pad,), fill, v.dtype)])
 
-    row_r = expand(rows, -1)        # (h,): chosen row of this row's band
-    c0_r = expand(c0, 0)
-    hc_r = expand(head_col, -1)
-    tc_r = expand(tail_col, -1)
     ids = jnp.arange(n, dtype=jnp.int32) << T.OWNER_SHIFT
     ids_r = expand(ids, 0)
-
     rr = jnp.arange(h, dtype=jnp.int32)
     cc = jnp.arange(w, dtype=jnp.int32)[None, :]
-    on_row = (rr == row_r)[:, None]             # (h, 1)
-    in_seg = on_row & (cc >= c0_r[:, None]) & (cc < c0_r[:, None] + k)
-    val = jnp.where(cc == hc_r[:, None], T.HEAD + ids_r[:, None],
-                    jnp.where(cc == tc_r[:, None], T.TAIL + ids_r[:, None],
-                              T.BODY + ids_r[:, None]))
+    if not allow_vertical:
+        row_r = expand(rows, -1)    # (h,): chosen row of this row's band
+        c0_r = expand(c0, 0)
+        hc_r = expand(head_col, -1)
+        tc_r = expand(tail_col, -1)
+        on_row = (rr == row_r)[:, None]             # (h, 1)
+        in_seg = (on_row & (cc >= c0_r[:, None])
+                  & (cc < c0_r[:, None] + k))
+        val = jnp.where(
+            cc == hc_r[:, None], T.HEAD + ids_r[:, None],
+            jnp.where(cc == tc_r[:, None], T.TAIL + ids_r[:, None],
+                      T.BODY + ids_r[:, None]))
+    else:
+        # GENERALIZED-SEGMENT paint: both orientations share ONE set of
+        # (H, W) compares — per row, the segment is a column range
+        # [st, st+ln) gated by a per-row active bit (horizontal: the
+        # chosen row with ln=k; vertical: the k rows [r0, r0+k) with
+        # ln=1), and head/tail are (row, col) point masks. All the
+        # orientation branching happens on (h,)-sized vectors, so the
+        # vertical family costs ~2 extra (H, W) compares instead of a
+        # second full paint path (measured: the dual-path form cost the
+        # procedural headline ~3%, 17.6M -> 17.1M).
+        # per-row active bit (h,): vertical rows compare against the
+        # band-expanded [r0, r0+k) range, horizontal against the row
+        vert_r = expand(vert, False)
+        r0_r = expand(r0, -1)
+        row_r = expand(rows, -1)
+        active = jnp.where(vert_r, (rr >= r0_r) & (rr < r0_r + k),
+                           rr == row_r)
+        st_r = expand(jnp.where(vert, cv, c0), 0)
+        ln_r = expand(jnp.where(vert, 1, k), 0)
+        hr_r = expand(jnp.where(vert, head_row, rows), -1)
+        hc_r = expand(jnp.where(vert, cv, head_col), -1)
+        tr_r = expand(jnp.where(vert, tail_row, rows), -1)
+        tc_r = expand(jnp.where(vert, cv, tail_col), -1)
+        in_seg = (active[:, None] & (cc >= st_r[:, None])
+                  & (cc < (st_r + ln_r)[:, None]))
+        head_m = (rr == hr_r)[:, None] & (cc == hc_r[:, None])
+        tail_m = (rr == tr_r)[:, None] & (cc == tc_r[:, None])
+        val = jnp.where(head_m, T.HEAD + ids_r[:, None],
+                        jnp.where(tail_m, T.TAIL + ids_r[:, None],
+                                  T.BODY + ids_r[:, None]))
     grid = jnp.where(in_seg, val, make_empty_grid(cfg))
     # materialize the painted grid ONCE: without the barrier XLA inlines
     # the whole paint expression into every consumer fusion (autoreset

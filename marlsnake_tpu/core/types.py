@@ -167,11 +167,25 @@ class EnvConfig:
     #                the reset grid is painted closed-form per cell, so
     #                the latency-bound kCustom spawn-row gather leaves
     #                the program entirely (it was 2.7ms of the 21.1ms
-    #                64-step headline trace). Straight horizontal spawns
-    #                only — a narrower distribution than the reference's
-    #                path family, hence opt-in; mirrored exactly by the
-    #                oracle (oracle.py reset, 'jax' mode).
+    #                64-step headline trace). Straight segments only
+    #                (see spawn_orientations) — a narrower distribution
+    #                than the reference's path family, hence opt-in;
+    #                mirrored exactly by the oracle (oracle.py reset,
+    #                'jax' mode).
     spawn_mode: str = 'pool'
+    # Procedural-spawn segment orientations:
+    #   'horizontal' (default) — straight left/right segments only (the
+    #                round-5 family; cheapest closed-form paint).
+    #   'both'       — each snake also samples an orientation bit and
+    #                may spawn VERTICALLY inside its band (only possible
+    #                when the band is >= snake_length rows tall —
+    #                otherwise degrades statically to horizontal).
+    #                Widens the spawn distribution toward the
+    #                reference's path family at ~3% headline cost (the
+    #                generalized-segment paint needs ~2 extra (H, W)
+    #                compare passes; measured 17.6M -> 17.1M).
+    #                Mirrored bit-exactly by the oracle.
+    spawn_orientations: str = 'horizontal'
     # Observation format:
     #   'uint8'  (default) — the reference's one-hot channel planes,
     #            (N, H, W, 8*frame_stack) uint8 (snake_env.py:474-519).
@@ -201,6 +215,9 @@ class EnvConfig:
             raise ValueError('snake_length must be >= 2')
         if self.spawn_mode not in ('pool', 'procedural'):
             raise ValueError(f'unknown spawn_mode {self.spawn_mode!r}')
+        if self.spawn_orientations not in ('horizontal', 'both'):
+            raise ValueError(
+                f'unknown spawn_orientations {self.spawn_orientations!r}')
         if self.obs_format not in ('uint8', 'packed'):
             raise ValueError(f'unknown obs_format {self.obs_format!r}')
         if self.spawn_mode == 'procedural':

@@ -124,17 +124,29 @@ class OracleEnv:
             # same float32 floor-scale + min-clamp arithmetic
             b = (h - 2) // n
             s = w - 1 - k
-            u = np.asarray(jax.random.uniform(k_spawn, (n, 3)),
+            allow_vertical = (cfg.spawn_orientations == 'both'
+                              and b >= k)
+            u = np.asarray(jax.random.uniform(k_spawn, (n, 4)),
                            dtype=np.float32)
             chosen = []
             for i in range(n):
-                dr = min(int(u[i, 0] * np.float32(b)), b - 1)
-                c0 = 1 + min(int(u[i, 1] * np.float32(s)), s - 1)
-                side = bool(u[i, 2] < 0.5)  # head at the LEFT end
-                row = 1 + i * b + dr
-                cols = (range(c0, c0 + k) if side
-                        else range(c0 + k - 1, c0 - 1, -1))
-                chosen.append([(row, c) for c in cols])  # head-first
+                band0 = 1 + i * b
+                side = bool(u[i, 2] < 0.5)  # head at the LEFT/TOP end
+                if allow_vertical and bool(u[i, 3] < 0.5):
+                    sv = b - k + 1
+                    r0 = band0 + min(int(u[i, 0] * np.float32(sv)),
+                                     sv - 1)
+                    cv = 1 + min(int(u[i, 1] * np.float32(w - 2)), w - 3)
+                    rws = (range(r0, r0 + k) if side
+                           else range(r0 + k - 1, r0 - 1, -1))
+                    chosen.append([(r, cv) for r in rws])  # head-first
+                else:
+                    dr = min(int(u[i, 0] * np.float32(b)), b - 1)
+                    c0 = 1 + min(int(u[i, 1] * np.float32(s)), s - 1)
+                    row = band0 + dr
+                    cols = (range(c0, c0 + k) if side
+                            else range(c0 + k - 1, c0 - 1, -1))
+                    chosen.append([(row, c) for c in cols])  # head-first
             assert self._disjoint(chosen)
         elif self.rng_mode == 'jax':
             import jax

@@ -47,8 +47,14 @@ CONFIGS = [
     # engine._procedural_spawn's key schedule bit-exactly
     EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
               num_fruits=3, spawn_mode='procedural'),
+    # orientation-diverse family: vertical segments opt in via
+    # spawn_orientations='both' (bands here are 4 >= k rows tall)
+    EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
+              num_fruits=3, spawn_mode='procedural',
+              spawn_orientations='both'),
     EnvConfig(height=10, width=10, num_snakes=2, snake_length=3,
-              num_fruits=2, spawn_mode='procedural'),
+              num_fruits=2, spawn_mode='procedural',
+              spawn_orientations='both'),
     # bands with leftover rows (h-2=9 rows, 4 snakes -> b=2, 1 unused)
     # + vision crop on top of procedural spawns
     EnvConfig(height=11, width=13, num_snakes=4, snake_length=4,

@@ -178,8 +178,9 @@ def test_many_snakes_skips_blob_and_resets_correctly():
 
 def test_procedural_spawn_validity_and_autoreset():
     """spawn_mode='procedural': every reset yields in-bounds, disjoint,
-    wall-free horizontal segments with coherent head/tail/ring state; the
-    vectorized autoreset path re-spawns through the same arithmetic."""
+    wall-free straight segments (horizontal, or vertical when the band
+    is tall enough) with coherent head/tail/ring state; the vectorized
+    autoreset path re-spawns through the same arithmetic."""
     import jax
     import jax.numpy as jnp
     from marlsnake_tpu.core import engine
@@ -191,6 +192,7 @@ def test_procedural_spawn_validity_and_autoreset():
                     num_fruits=2, spawn_mode='procedural')
     n, k = cfg.num_snakes, cfg.snake_length
     b = (cfg.height - 2) // n
+    assert b < k  # this config's bands are too short for vertical
 
     reset = jax.jit(lambda key: engine.reset(cfg, None, key))
     for seed in range(32):
@@ -237,6 +239,58 @@ def test_procedural_spawn_validity_and_autoreset():
                      & (T.cell_type(grids[env_i]) >= T.HEAD)).sum()
             if alive[env_i, i]:
                 assert cells >= 2
+
+
+def test_procedural_spawn_vertical_family():
+    """With bands >= snake_length rows tall the procedural family also
+    emits VERTICAL segments: over many resets both orientations appear,
+    every segment is straight, in-band, wall-free and disjoint, and
+    head/tail sit at the segment ends."""
+    import jax
+    from marlsnake_tpu.core import engine
+    from marlsnake_tpu.core import types as T
+    from marlsnake_tpu.core.types import EnvConfig
+
+    cfg = EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
+                    num_fruits=3, spawn_mode='procedural',
+                    spawn_orientations='both')
+    n, k = cfg.num_snakes, cfg.snake_length
+    b = (cfg.height - 2) // n
+    assert b >= k
+
+    reset = jax.jit(lambda key: engine.reset(cfg, None, key))
+    orientations = set()
+    for seed in range(24):
+        state, _ = reset(jax.random.key(seed))
+        grid = np.asarray(state.grid)
+        head = np.asarray(state.head)
+        tail = np.asarray(state.tail)
+        for i in range(n):
+            cells = np.argwhere((T.cell_owner(grid) == i)
+                                & (T.cell_type(grid) >= T.HEAD))
+            assert len(cells) == k, (seed, i)
+            rows, cols = cells[:, 0], cells[:, 1]
+            # whole segment inside snake i's private band, off the walls
+            assert (1 + i * b <= rows).all()
+            assert (rows < 1 + (i + 1) * b).all()
+            assert (1 <= cols).all() and (cols <= cfg.width - 2).all()
+            if (rows == rows[0]).all():      # horizontal
+                orientations.add('h')
+                cs = np.sort(cols)
+                assert (np.diff(cs) == 1).all()
+                ends = {(rows[0], cs[0]), (rows[0], cs[-1])}
+            else:                            # vertical
+                orientations.add('v')
+                assert (cols == cols[0]).all()
+                rs = np.sort(rows)
+                assert (np.diff(rs) == 1).all()
+                ends = {(rs[0], cols[0]), (rs[-1], cols[0])}
+            assert tuple(head[i]) in ends
+            assert tuple(tail[i]) in ends and tuple(tail[i]) != tuple(
+                head[i])
+    # both orientations must show up across 24 resets x 4 snakes
+    # (P[miss one] ~ 2 * 0.5^96)
+    assert orientations == {'h', 'v'}
 
 
 def test_procedural_spawn_config_validation():
