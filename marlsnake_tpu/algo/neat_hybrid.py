@@ -425,8 +425,14 @@ class HeadESTrainer:
         fitness difference is the paired CRN estimate of the directional
         derivative);
       * update = rank-shaped gradient ascent on theta;
-      * the running theta is itself evaluated every generation (member
-        0) and the best-scoring theta snapshot is kept.
+      * champion selection runs on a FIXED validation key set (the same
+        V episode draws every generation, one V-member batched call
+        with theta tiled across slots), so cross-generation comparisons
+        are paired. Selecting on the per-generation training draws
+        instead is exactly the NEAT flagship's failure mode re-created:
+        a lucky early draw stays "best" forever (measured in the probe
+        run: training-fitness range across generations ~90 >> any real
+        progress, and the gen-0 seed never lost its crown).
 
     The result saves as a standard fc3-topology hybrid genome
     (``save_checkpoint_safe``), so ``render_winner``/battle consumers
@@ -523,6 +529,24 @@ class HeadESTrainer:
                 self._run(self.dqn_params, W, b, states, obs)))
         return np.stack(ep).mean(0).mean(-1)  # (P,)
 
+    def _val_keys(self, episodes: int):
+        """The FIXED validation draw set: identical every generation."""
+        root = jax.random.fold_in(jax.random.key(self.seed), 777_000)
+        return jnp.stack([jax.random.fold_in(root, j)
+                          for j in range(episodes)])
+
+    def validate(self, theta, episodes: int = 8) -> float:
+        """Mean return of ``theta`` over the fixed validation draws —
+        ONE batched call: theta tiled across the member slots, each
+        slot resetting with a DIFFERENT validation key."""
+        W = jnp.broadcast_to(theta[0][None],
+                             (episodes,) + theta[0].shape)
+        b = jnp.broadcast_to(theta[1][None],
+                             (episodes,) + theta[1].shape)
+        states, obs = self._reset_jit(self._val_keys(episodes))
+        ret = np.asarray(self._run(self.dqn_params, W, b, states, obs))
+        return float(ret.mean())
+
     def _member_batch(self, theta, eps_k, eps_b):
         """[theta, theta+sigma*eps_i, theta-sigma*eps_i] stacked."""
         k, b = theta
@@ -535,10 +559,17 @@ class HeadESTrainer:
         return Wp, bp
 
     def run(self, num_generations: int = 50, verbose: bool = True,
-            on_generation=None):
+            on_generation=None, val_episodes: int = 8):
         half = self.pop_size // 2
         theta = self._seed_theta
-        best_theta, best_score = theta, -np.inf
+        # champion selection rides the FIXED validation draw set: the
+        # seed's score there is the bar every theta must clear (paired —
+        # same draws every generation)
+        seed_val = self.validate(theta, val_episodes)
+        best_theta, best_val = theta, seed_val
+        # initial winner saved immediately (the NEAT path's contract,
+        # train_ga.py:290-305) so the result file always exists
+        self._save(theta, seed_val)
         key = jax.random.key(self.seed)
         history = []
         for gen in range(num_generations):
@@ -549,9 +580,6 @@ class HeadESTrainer:
             W, b = self._member_batch(theta, eps_k, eps_b)
             fit = self._fitness(W, b, k_env)  # (1 + 2*half,)
             f_theta, f_pos, f_neg = fit[0], fit[1:1 + half], fit[1 + half:]
-            if f_theta > best_score:
-                best_score, best_theta = float(f_theta), theta
-                self._save(best_theta, best_score)
             # rank-shaped utilities over the 2*half perturbed members
             # (centered ranks in [-0.5, 0.5] — scale-free, outlier-robust)
             pert = np.concatenate([f_pos, f_neg])
@@ -564,22 +592,28 @@ class HeadESTrainer:
             gk = jnp.einsum('p,pij->ij', coef, eps_k)
             gb = jnp.einsum('p,pj->j', coef, eps_b)
             theta = (theta[0] + self.lr * gk, theta[1] + self.lr * gb)
+            val = self.validate(theta, val_episodes)
+            if val > best_val:
+                best_val, best_theta = val, theta
+                self._save(best_theta, best_val)
             rec = {'gen': gen, 'theta_fitness': float(f_theta),
                    'pert_best': float(pert.max()),
                    'pert_mean': float(pert.mean()),
-                   'best_score': best_score,
+                   'val': val, 'best_val': best_val,
+                   'seed_val': seed_val,
                    'theta_l2_from_seed': float(jnp.sqrt(
                        ((theta[0] - self._seed_theta[0]) ** 2).sum()
                        + ((theta[1] - self._seed_theta[1]) ** 2).sum()))}
             history.append(rec)
             if verbose:
-                print(f"gen {gen:3d} | theta {rec['theta_fitness']:9.3f}"
-                      f" | pert best {rec['pert_best']:9.3f}"
-                      f" | best {best_score:9.3f}"
+                print(f"gen {gen:3d} | train {rec['theta_fitness']:8.2f}"
+                      f" | val {val:8.2f}"
+                      f" | best val {best_val:8.2f}"
+                      f" (seed {seed_val:.2f})"
                       f" | |d|={rec['theta_l2_from_seed']:.3f}")
             if on_generation:
                 on_generation(rec)
-        return best_theta, best_score, history
+        return best_theta, best_val, history
 
     def theta_to_genome(self, theta) -> Genome:
         """Pack (kernel, bias) into the fc3-topology hybrid genome."""
@@ -604,24 +638,40 @@ class HeadESTrainer:
         }, self.result_file)
 
     def holdout_compare(self, theta_a, theta_b, episodes: int = 32,
-                        seed: int = 10_000):
+                        seed: int = 10_000, block: int = 64):
         """Paired held-out evaluation: both heads play the same fresh
         episode draws (never used in training — distinct key root).
+        Episodes run BATCHED: each head is tiled across ``block`` member
+        slots with a distinct episode key per slot, so one device call
+        plays ``block`` paired episodes (vs one episode per call — the
+        whole-episode while_loop's wall time is nearly flat in the
+        member count, so this is ~block times cheaper).
         Returns (mean_a, mean_b, mean paired diff, std of paired diff)."""
-        W = jnp.stack([theta_a[0], theta_b[0]])
-        b = jnp.stack([theta_a[1], theta_b[1]])
-        diffs, ra, rb = [], [], []
         root = jax.random.key(self.seed + seed)
-        for j in range(episodes):
-            k_ep = jax.random.fold_in(root, j)
-            keys = jnp.broadcast_to(k_ep[None], (2,))
-            states, obs = self._reset_jit(keys)
+        ra, rb = [], []
+        done = 0
+        while done < episodes:
+            v = min(block, episodes - done)
+            keys = jnp.stack([jax.random.fold_in(root, j)
+                              for j in range(done, done + v)])
+            W = jnp.concatenate([
+                jnp.broadcast_to(theta_a[0][None],
+                                 (v,) + theta_a[0].shape),
+                jnp.broadcast_to(theta_b[0][None],
+                                 (v,) + theta_b[0].shape)])
+            b = jnp.concatenate([
+                jnp.broadcast_to(theta_a[1][None],
+                                 (v,) + theta_a[1].shape),
+                jnp.broadcast_to(theta_b[1][None],
+                                 (v,) + theta_b[1].shape)])
+            states, obs = self._reset_jit(
+                jnp.concatenate([keys, keys]))
             ret = np.asarray(self._run(self.dqn_params, W, b, states,
                                        obs)).mean(-1)
-            ra.append(ret[0])
-            rb.append(ret[1])
-            diffs.append(ret[1] - ret[0])
-        d = np.asarray(diffs)
+            ra.extend(ret[:v])
+            rb.extend(ret[v:])
+            done += v
+        d = np.asarray(rb) - np.asarray(ra)
         return (float(np.mean(ra)), float(np.mean(rb)),
                 float(d.mean()), float(d.std(ddof=1)))
 

@@ -16,6 +16,7 @@ The champion saves as a standard fc3-topology hybrid checkpoint
 (artifacts/hybrid_es_20x20.msgpack) loadable by render_winner/battle.
 
 Usage: python tools/es_flagship.py [generations] [pop_size] [sigma] [lr]
+       [val_episodes]
 """
 
 import json
@@ -31,6 +32,7 @@ def main():
     pop_size = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     sigma = float(sys.argv[3]) if len(sys.argv) > 3 else 0.02
     lr = float(sys.argv[4]) if len(sys.argv) > 4 else 0.01
+    val_episodes = int(sys.argv[5]) if len(sys.argv) > 5 else 8
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     from marlsnake_tpu.algo.dqn_trainer import DQNConfig, DQNTrainer
@@ -61,14 +63,15 @@ def main():
         curve.flush()
 
     t0 = time.time()
-    best_theta, best_score, hist = es.run(
-        num_generations=generations, on_generation=record)
+    best_theta, best_val, hist = es.run(
+        num_generations=generations, on_generation=record,
+        val_episodes=val_episodes)
     total = time.time() - t0
 
     # held-out paired comparison: seed vs champion on fresh draws
+    n = int(os.environ.get('ES_HOLDOUT_EPISODES', '256'))
     ma, mb, dmean, dstd = es.holdout_compare(
-        es._seed_theta, best_theta, episodes=64)
-    n = 64
+        es._seed_theta, best_theta, episodes=n)
     sem = dstd / n ** 0.5
     verdict = {
         'holdout_episodes': n,
@@ -76,7 +79,8 @@ def main():
         'paired_diff_mean': round(dmean, 4),
         'paired_diff_sem': round(sem, 4),
         'champion_beats_seed': bool(dmean > 2 * sem),
-        'train_best_score': round(best_score, 4),
+        'champion_val_score': round(best_val, 4),
+        'seed_val_score': round(hist[0]['seed_val'], 4) if hist else None,
         'total_min': round(total / 60, 2),
     }
     curve.write(json.dumps({'holdout': verdict}) + '\n')
