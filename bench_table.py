@@ -29,6 +29,13 @@ CONFIGS = [
     ('20x20x4_full_obs_procedural', 4096,
      EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
                spawn_mode='procedural'), 783.0),
+    # orientation-diverse procedural family (vertical segments opt-in):
+    # the generalized-segment paint costs ~2 extra (H, W) compare passes
+    # — the row exists so the knob's price stays measured, not assumed
+    ('20x20x4_full_obs_procedural_both', 4096,
+     EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
+               spawn_mode='procedural', spawn_orientations='both'),
+     None),
     ('20x20x4_vision5', 4096,
      EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
                vision_range=5), 596.0),

@@ -9,6 +9,7 @@ Here one CLI covers the whole stack::
     python -m marlsnake_tpu.cli eval        [--checkpoint TAG] ...
     python -m marlsnake_tpu.cli battle      [--checkpoint TAG] ...
     python -m marlsnake_tpu.cli neat        [--generations N] ...
+    python -m marlsnake_tpu.cli es          [--generations N] ...
     python -m marlsnake_tpu.cli demo        # random rollout + render
 """
 
@@ -105,6 +106,23 @@ def build_parser() -> argparse.ArgumentParser:
                         'across the population (1 = reference scale)')
     g.add_argument('--result-file', type=str,
                    default='hybrid_neat_best.pkl')
+
+    e = sub.add_parser('es', help='antithetic weight-perturbation ES on '
+                                  'the hybrid decision head (CRN-paired '
+                                  'fitness, fixed-validation champion '
+                                  'selection, fresh-holdout verdict)')
+    _env_args(e)
+    e.add_argument('--checkpoint', type=str, default='final')
+    e.add_argument('--save-dir', type=str, default='checkpoints')
+    e.add_argument('--generations', type=int, default=100)
+    e.add_argument('--pop-size', type=int, default=256)
+    e.add_argument('--sigma', type=float, default=0.03)
+    e.add_argument('--lr', type=float, default=0.003)
+    e.add_argument('--fitness-episodes', type=int, default=4)
+    e.add_argument('--val-episodes', type=int, default=32)
+    e.add_argument('--holdout-episodes', type=int, default=256)
+    e.add_argument('--result-file', type=str,
+                   default='hybrid_es_best.msgpack')
 
     d = sub.add_parser('demo', help='random rollout with ascii render')
     _env_args(d)
@@ -279,6 +297,31 @@ def main(argv=None):
                           result_file=args.result_file, seed=args.seed,
                           fitness_episodes=args.fitness_episodes
                           ).run(args.generations)
+
+    elif args.mode == 'es':
+        from marlsnake_tpu.algo.neat import NeatConfig
+        from marlsnake_tpu.algo.neat_hybrid import (DEFAULT_REWARD,
+                                                    HeadESTrainer)
+        from marlsnake_tpu.core.types import EnvConfig
+        tr, ts = _load_dqn(args)
+        env_cfg = EnvConfig.from_reward_dict(
+            DEFAULT_REWARD, height=args.height, width=args.width,
+            num_snakes=args.num_snakes, snake_length=args.snake_length)
+        es = HeadESTrainer(
+            ts.params, env_cfg=env_cfg,
+            neat_cfg=NeatConfig(num_inputs=128, num_outputs=3),
+            pop_size=args.pop_size, sigma=args.sigma, lr=args.lr,
+            fitness_episodes=args.fitness_episodes, seed=args.seed,
+            result_file=args.result_file)
+        best_theta, best_val, _ = es.run(
+            args.generations, val_episodes=args.val_episodes)
+        ma, mb, dm, ds = es.holdout_compare(
+            es._seed_theta, best_theta, episodes=args.holdout_episodes)
+        sem = ds / max(args.holdout_episodes, 1) ** 0.5
+        print(f'holdout ({args.holdout_episodes} fresh paired episodes): '
+              f'seed {ma:.2f} champion {mb:.2f} '
+              f'diff {dm:+.2f} +/- {sem:.2f} (sem) -> '
+              f'{"IMPROVED" if dm > 2 * sem else "no detectable gain"}')
 
     elif args.mode == 'demo':
         from marlsnake_tpu.envs.wrappers import make_snake

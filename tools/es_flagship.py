@@ -53,6 +53,11 @@ def main():
 
     curve_path = os.path.join(root, 'artifacts/es_flagship_curve.jsonl')
     curve = open(curve_path, 'w')
+    curve.write(json.dumps({'config': {
+        'generations': generations, 'pop_size': pop_size,
+        'sigma': sigma, 'lr': lr, 'val_episodes': val_episodes,
+        'fitness_episodes': 4, 'episode_steps': 512}}) + '\n')
+    curve.flush()
     t_gen = [time.time()]
 
     def record(rec):
