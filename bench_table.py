@@ -36,6 +36,14 @@ CONFIGS = [
      EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
                spawn_mode='procedural', spawn_orientations='both'),
      None),
+    # headline config under the opt-in packed obs contract: the uint8
+    # one-hot planes are the measured wall of the full-obs rows (the
+    # checksum consumer's 52MB/step write+readback is 39% of the
+    # procedural program's device time, round-5 trace) — this row prices
+    # that contract: same engine, 1 byte/cell obs
+    ('20x20x4_full_obs_procedural_packedobs', 4096,
+     EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
+               spawn_mode='procedural', obs_format='packed'), None),
     ('20x20x4_vision5', 4096,
      EnvConfig(height=20, width=20, num_snakes=4, snake_length=3,
                vision_range=5), 596.0),
